@@ -1,0 +1,190 @@
+"""GridLevel: one (multigrid) level = geometry batch + quadrature + topology.
+
+Replaces the reference's ``Grid`` / ``CoarseGrid`` objects (grid.py:65-360):
+instead of arrays of Element/Face Python objects, a level holds batched
+coordinate tensors, constant basis tables and static index maps; metric
+terms are produced on device by ``dgtpu.geometry.geometry_terms`` (or the
+fine-grid sampling path for h-coarsened levels).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from dgtpu.basis import QuadratureSet
+from dgtpu.geometry import (FaceTopology, coarse_element_coords,
+                            coarse_geometry_terms, element_coords,
+                            geometry_terms, neighbor_map)
+from dgtpu.utils.logger import Logger
+
+
+class GridLevel:
+    def __init__(self, geometry, settings, vars, P_sol, sigma=None, gamma=None,
+                 discretization="dg"):
+        self.settings = settings
+        self.logger = Logger(__name__, settings).logger
+        self.vars = list(vars)
+        self.discretization = discretization
+        self.coarsening_factor = None
+
+        self.P_grid = geometry.P_grid
+        self.N_grid = geometry.N_grid
+        self.N_DOF_grid = geometry.N_DOF_grid
+        self.O_grid = geometry.O_grid
+        self.fully_periodic = geometry.fully_periodic_boundaries
+        self.Ni, self.Nj, self.N = geometry.Ni, geometry.Nj, geometry.N
+
+        # DOF bookkeeping (grid.py:103-110)
+        self.P_sol = dict(P_sol)
+        self.N_sol = {v: self.P_sol[v] + 1 for v in self.vars}
+        self.N_DOF_sol = {v: self.N_sol[v] ** 2 for v in self.vars}
+        if self.vars == ["u"]:
+            self.N_DOF_sol_tot = self.N_DOF_sol["u"]
+        else:
+            self.N_DOF_sol_tot = sum(
+                n * 2 if v == "u" else n for v, n in self.N_DOF_sol.items())
+        self.N_int = {
+            v: getattr(getattr(settings.solution, v), "integration_polynomial_degree_factor")
+               * self.P_sol[v] // 2 + 1
+            for v in self.vars}
+
+        self.sigma = sigma
+        if not self.sigma:
+            self.sigma = (settings.problem.SIP_penalty_parameter
+                          if settings.problem.SIP_penalty_parameter else
+                          (self.P_sol["u"] + 1) ** 2
+                          * settings.problem.SIP_penalty_parameter_multiplier)
+        self.gamma = gamma
+        if not self.gamma:
+            self.gamma = settings.problem.velocity_penalty_parameter
+
+        self.quad = QuadratureSet(self.N_grid, self.N_sol, self.N_int)
+        self.X, self.Y = element_coords(geometry.x, geometry.y,
+                                        self.Ni, self.Nj, self.P_grid)
+        self._check_closure()
+        self._build_topology()
+        self._gt = None
+
+        # assembled-system slots (reference Grid attribute surface, grid.py:72-87)
+        self.op = None          # StencilOperator (the 'BSR')
+        self.rhs = None
+        self.inv_mass = None    # (N, B, B) per-element inverse mass matrices
+        self.block_A = None     # Stokes global-order pieces
+        self.block_D = None
+        self.block_G = None
+        self.Epsilon = None
+
+        self.logger.debug(
+            f"Initialized grid level: P_grid={self.P_grid}, P_sol={self.P_sol}, "
+            f"sigma={self.sigma}, {self.Ni}x{self.Nj} elements, "
+            f"N_DOF_sol_tot={self.N_DOF_sol_tot}")
+
+    # -- construction helpers ------------------------------------------------
+
+    def _check_closure(self):
+        if self.O_grid:
+            G1 = self.P_grid + 1
+            first = self.X[np.arange(self.Nj) * self.Ni]           # i = 0 column
+            last = self.X[np.arange(self.Nj) * self.Ni + self.Ni - 1]
+            fy = self.Y[np.arange(self.Nj) * self.Ni]
+            ly = self.Y[np.arange(self.Nj) * self.Ni + self.Ni - 1]
+            # element i=0's imin edge nodes (a=0) vs i=Ni-1's imax edge (a=G1-1)
+            idx_min = np.arange(G1) * G1
+            idx_max = np.arange(G1) * G1 + (G1 - 1)
+            if (np.abs(first[:, idx_min] - last[:, idx_max]).max() > 1e-15
+                    or np.abs(fy[:, idx_min] - ly[:, idx_max]).max() > 1e-15):
+                raise ValueError("Element does not close O-grid with neighbouring element")
+
+    def _build_topology(self):
+        periodic_i = self.O_grid
+        self.faces_i = FaceTopology(self.Ni, self.Nj, "i", periodic_i)
+        self.faces_j = FaceTopology(self.Ni, self.Nj, "j", False)
+        # matrix coupling wrap includes fully-periodic (zero blocks are exact
+        # for the reference's boundary-type periodic faces, so we simply do
+        # not wrap the index map for them — see FaceTopology docstring)
+        self.nbr, self.nbr_mask = neighbor_map(self.Ni, self.Nj, periodic_i, False)
+
+    # -- device geometry ------------------------------------------------------
+
+    @property
+    def gt(self):
+        if self._gt is None:
+            self._gt = geometry_terms(self.X, self.Y, self.quad)
+        return self._gt
+
+    def h_F(self, topo):
+        """Face size h_F = mean of sqrt(element areas) of present sides (face.py:13-35)."""
+        A = self.gt["A"]
+        sa = jnp.sqrt(A)
+        saL, saR = sa[topo.eL], sa[topo.eR]
+        hl = jnp.asarray(topo.has_L, dtype=sa.dtype)
+        hr = jnp.asarray(topo.has_R, dtype=sa.dtype)
+        return (hl * saL + hr * saR) / (hl + hr)
+
+
+class CoarseGridLevel(GridLevel):
+    """h-coarsened level whose metric terms are sampled from the fine level.
+
+    Reference: CoarseGrid/CoarseElement (grid.py:272-360, element.py:234-356).
+    """
+
+    def __init__(self, geometry, fine_level, settings, vars, coarsening_factor,
+                 discretization="dg"):
+        self._fine = fine_level
+        self._cf = coarsening_factor
+
+        class _GeomView:
+            pass
+
+        g = _GeomView()
+        g.P_grid = fine_level.P_grid
+        g.N_grid = fine_level.N_grid
+        g.N_DOF_grid = fine_level.N_DOF_grid
+        g.O_grid = fine_level.O_grid
+        g.fully_periodic_boundaries = fine_level.fully_periodic
+        g.Ni = fine_level.Ni // coarsening_factor
+        g.Nj = fine_level.Nj // coarsening_factor
+        g.N = g.Ni * g.Nj
+        if g.Ni == 0 or g.Nj == 0:
+            raise ValueError(
+                f"The number of original elements ({fine_level.Ni},{fine_level.Nj}) "
+                f"cannot be divided by a factor {coarsening_factor}")
+        # coarse element nodal coordinates: strided fine-grid nodes
+        Xc, Yc = coarse_element_coords(fine_level.X, fine_level.Y,
+                                       fine_level.Ni, fine_level.Nj,
+                                       fine_level.P_grid, coarsening_factor)
+        g.x = None
+        g.y = None
+        P_sol = (dict(fine_level.P_sol) if discretization != "fvm"
+                 else {k: 0 for k in fine_level.P_sol})
+        # bypass element_coords by monkey-wiring after super().__init__
+        self._Xc, self._Yc = Xc, Yc
+        gx, gy = self._nodes_from_elements(Xc, Yc, g.Ni, g.Nj, g.P_grid)
+        g.x, g.y = gx, gy
+        super().__init__(g, settings, vars, P_sol,
+                         sigma=fine_level.sigma, gamma=fine_level.gamma,
+                         discretization=discretization)
+        self.coarsening_factor = coarsening_factor
+        self.Ni_fine, self.Nj_fine = fine_level.Ni, fine_level.Nj
+
+    @staticmethod
+    def _nodes_from_elements(X, Y, Ni, Nj, p_grid):
+        """Reassemble the global node lattice from per-element coords (shared edges)."""
+        G1 = p_grid + 1
+        il, jl = Ni * p_grid + 1, Nj * p_grid + 1
+        x = np.zeros((il, jl))
+        y = np.zeros((il, jl))
+        for m in range(Ni * Nj):
+            i, j = m % Ni, m // Ni
+            blk_x = np.asarray(X[m]).reshape(G1, G1, order="F")
+            blk_y = np.asarray(Y[m]).reshape(G1, G1, order="F")
+            x[i * p_grid:i * p_grid + G1, j * p_grid:j * p_grid + G1] = blk_x
+            y[i * p_grid:i * p_grid + G1, j * p_grid:j * p_grid + G1] = blk_y
+        return x, y
+
+    @property
+    def gt(self):
+        if self._gt is None:
+            self._gt = coarse_geometry_terms(
+                self._fine.X, self._fine.Y, self.quad,
+                self._fine.Ni, self._fine.Nj, self._cf)
+        return self._gt
