@@ -1,0 +1,457 @@
+"""DGFEM orchestrator — end-to-end driver (reference: ``dgfem/dgfem.py``).
+
+Builds settings + manufactured solution, reads the grid, constructs the
+(multigrid) level hierarchy with transfer operators, assembles each level,
+dispatches the solver, and post-processes: residual norms, Stokes pressure
+mean shift, modal->nodal interpolation, L1/L2 MMS errors, VTK export and
+``summary.txt`` in the reference's schema.
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from dgtpu.geometry import Geometry
+from dgtpu.io.vtk import elements_to_vtk, grid_to_vtk
+from dgtpu.level import CoarseGridLevel, GridLevel
+from dgtpu.mms import ManufacturedSolution
+from dgtpu.ops.smoothers import element_colors
+from dgtpu.ops.transfer import make_transfer
+from dgtpu.settings import Settings, load_params
+from dgtpu.utils.logger import Logger
+from dgtpu.utils.norms import lp_norm
+from dgtpu.utils.timer import Timer, synchronize
+
+
+class DGFEM:
+    def __init__(self, **kwargs):
+        if kwargs.get("settings"):
+            self.settings = kwargs["settings"]
+        else:
+            self.settings = Settings(load_params(kwargs.get("paramfile")))
+        self.settings.update_settings(kwargs)
+
+        self.logger = Logger(__name__, self.settings).logger
+        self.timer = Timer(self.logger)
+
+        for key, arg in kwargs.items():
+            if "solve_" in key and arg:
+                self.settings.solver.method = key.removeprefix("solve_")
+        if not hasattr(self.settings.solver, "method"):
+            self.settings.solver.method = "direct"
+
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        folder = self.settings.grid.folder
+        grid_filepath = (folder if os.path.isabs(folder)
+                         else os.path.join(repo_root, folder))
+        grid_filepath = os.path.join(grid_filepath, self.settings.grid.filename)
+        self.geometry = Geometry(grid_filepath, self.settings)
+
+        problem = self.settings.problem.type
+        if problem == "Poisson":
+            self.vars = ["u"]
+            self.P_sol = {"u": self.settings.solution.u.polynomial_degree}
+        elif problem in ("Stokes", "Navier-Stokes"):
+            self.vars = ["u", "p"]
+            self.P_sol = {v: getattr(getattr(self.settings.solution, v),
+                                     "polynomial_degree") for v in self.vars}
+        else:
+            raise NotImplementedError(
+                f"There exists no implementation for the {problem} equation(s), "
+                f"possible equation(s) are: Poisson|Stokes|Navier-Stokes")
+
+        exact = {k: getattr(self.settings.problem.exact_solution, k, None)
+                 for k in ("u", "v", "p")}
+        lam = getattr(self.settings.problem.exact_solution, "lam", None)
+        self.mms = ManufacturedSolution(
+            exact, "Stokes" if problem != "Poisson" else "Poisson",
+            self.settings.problem.kinematic_viscosity, lam_expr=lam,
+            logger=self.logger)
+        if problem == "Stokes":
+            if self.settings.solution.manufactured_solution:
+                self.mms.check_divergence_free()
+            self.exact_p_mean = self.mms.compute_pressure_mean(
+                self.geometry, self.settings.grid.circular)
+
+        self.settings._validate_settings(self.settings)
+
+        # results folder structure (dgfem.py:64-101)
+        grid_filename = os.path.splitext(self.settings.grid.filename)[0]
+        results_folder = f"exact_sol_{self.settings.problem.exact_solution.tag}"
+        mul = self.settings.problem.SIP_penalty_parameter_multiplier
+        results_folder += f"_sigmamul{mul}".replace(".", "_")
+        if problem == "Stokes":
+            results_folder += (f"_gamma{self.settings.problem.velocity_penalty_parameter}"
+                               .replace(".", "_"))
+        self.results_dir = os.path.join(repo_root, "results",
+                                        problem.replace("-", "_"),
+                                        f"grid_{grid_filename}", results_folder)
+        os.makedirs(self.results_dir, exist_ok=True)
+        self.solution_visualization_filepath = os.path.join(
+            self.results_dir,
+            "solution_" + "_".join(f"P{v}{self.P_sol[v]}" for v in self.vars))
+        self.solution_summary_filepath = os.path.join(self.results_dir, "summary.txt")
+
+        self.residuals = []
+        self.initialize()
+
+        if self.settings.visualization.export:
+            grid_to_vtk(os.path.join(self.results_dir, "grid"),
+                        self.geometry.x, self.geometry.y)
+        self._write_summary_header(grid_filename)
+
+    # ------------------------------------------------------------------ setup
+
+    def initialize(self):
+        s = self.settings
+        self.sigma = (s.problem.SIP_penalty_parameter if s.problem.SIP_penalty_parameter
+                      else (self.P_sol["u"] + 1) ** 2
+                      * s.problem.SIP_penalty_parameter_multiplier)
+        self.levels = []
+        self.transfers = []
+        self.transfer_types = []
+        if s.solver.method == "multigrid":
+            self._build_multigrid_hierarchy()
+        else:
+            disc = getattr(s.solver, "discretization", "dg")
+            self.levels.append(GridLevel(self.geometry, s, self.vars,
+                                         self.P_sol, self.sigma,
+                                         discretization=disc))
+
+        for idx, lvl in enumerate(self.levels):
+            self.logger.debug(
+                f"grid number {idx+1}: P_grid={lvl.P_grid}, P_sol={lvl.P_sol}, "
+                f"sigma={lvl.sigma}, Ni={lvl.Ni}, Nj={lvl.Nj}")
+
+        self._assemble_all()
+
+    def _build_multigrid_hierarchy(self):
+        """Mirror of dgfem.assemble_multigrid_operators (dgfem.py:269-376).
+
+        Levels are ordered coarsest -> finest; transfers[k] sits between
+        levels[k] and levels[k+1].
+        """
+        s = self.settings
+        mg = s.solver.multigrid
+
+        if mg.penalty_parameter_coarsening.enabled:
+            sigma_min = (self.P_sol["u"] + 1) ** 2
+            multipliers = sorted(map(int, str(
+                mg.penalty_parameter_coarsening.multipliers).split(",")))
+            sigmas = [sigma_min * m for m in multipliers]
+            for m in multipliers:
+                if m < 2:
+                    self.logger.warning(
+                        "You are trying to use a penalty parameter multiplier lower "
+                        "than 2, expect unstable results on curved grids")
+            new = [GridLevel(self.geometry, s, self.vars, self.P_sol, sig)
+                   for sig in sigmas]
+            self.levels[0:0] = new
+            self.transfers[0:0] = [make_transfer("penalty", p_fine=self.P_sol["u"])
+                                   for _ in range(len(sigmas) - 1)]
+            self.transfer_types[0:0] = ["penalty"] * (len(sigmas) - 1)
+
+        if mg.polynomial_coarsening.enabled:
+            p_levels = {v: sorted(map(int, str(getattr(
+                mg.polynomial_coarsening.levels, v)).split(",")))
+                for v in self.vars}
+            if mg.penalty_parameter_coarsening.enabled:
+                p_levels_grids = {v: lv[:-1] for v, lv in p_levels.items()}
+                s.problem.SIP_penalty_parameter_multiplier = multipliers[0]
+            else:
+                p_levels_grids = p_levels
+            sigma_min = [(p + 1) ** 2 * s.problem.SIP_penalty_parameter_multiplier
+                         for p in p_levels_grids["u"]]
+            new = [GridLevel(self.geometry, s, self.vars,
+                             dict(zip(p_levels_grids.keys(), ps)), sig)
+                   for ps, sig in zip(zip(*p_levels_grids.values()), sigma_min)]
+            self.levels[0:0] = new
+            p_transfers = [make_transfer("polynomial",
+                                         p_fine=p_levels["u"][i + 1],
+                                         p_coarse=p_levels["u"][i])
+                           for i in range(len(p_levels["u"]) - 1)]
+            self.transfers[0:0] = p_transfers
+            self.transfer_types[0:0] = ["polynomial"] * len(p_transfers)
+
+        if mg.geometric_coarsening.enabled:
+            if not self.levels:
+                self.levels.append(GridLevel(self.geometry, s, self.vars,
+                                             self.P_sol, self.sigma))
+            if mg.geometric_coarsening.use_FVM:
+                fvm_level = GridLevel(self.geometry, s, self.vars, self.P_sol,
+                                      self.sigma, discretization="fvm")
+                self.levels[0:0] = [fvm_level]
+                self.transfers[0:0] = [make_transfer(
+                    "dg_to_fvm", p_fine=self.levels[1].P_sol["u"])]
+                self.transfer_types[0:0] = ["geometric"]
+
+            cfs = mg.geometric_coarsening.coarsening_factors
+            cfs = (sorted(map(int, str(cfs).split(",")), reverse=True)
+                   if not isinstance(cfs, int) else [cfs])
+            base = self.levels[0]
+            use_fvm = mg.geometric_coarsening.use_FVM
+            coarse = [CoarseGridLevel(self.geometry, base, s, self.vars, cf,
+                                      discretization="fvm" if use_fvm else "dg")
+                      for cf in cfs]
+            self.levels[0:0] = coarse
+            # transfers between successive geometric levels (each a 2x fine-up)
+            geo_transfers = []
+            for k in range(len(coarse)):
+                if use_fvm:
+                    geo_transfers.append(make_transfer(
+                        "geometric_fvm", Ni_c=self.levels[k].Ni,
+                        Nj_c=self.levels[k].Nj))
+                else:
+                    geo_transfers.append(make_transfer(
+                        "geometric", p_fine=self.levels[k].P_sol["u"],
+                        Ni_c=self.levels[k].Ni, Nj_c=self.levels[k].Nj, cf=2))
+            self.transfers[0:0] = geo_transfers
+            self.transfer_types[0:0] = ["geometric"] * len(geo_transfers)
+
+        if not self.levels:
+            raise ValueError("multigrid requires at least one coarsening type enabled")
+
+    def _assemble_all(self):
+        from dgtpu.models.poisson import assemble_poisson
+        problem = self.settings.problem.type
+        finest = self.levels[-1]
+        for lvl in self.levels:
+            need_rhs = lvl is finest
+            if problem == "Poisson":
+                if lvl.discretization == "fvm":
+                    from dgtpu.models.fvm import assemble_poisson_fvm
+                    lvl.op, lvl.rhs = assemble_poisson_fvm(lvl, self.mms)
+                else:
+                    lvl.op, lvl.rhs, lvl.inv_mass = assemble_poisson(
+                        lvl, self.mms if need_rhs else None)
+            elif problem == "Stokes":
+                from dgtpu.models.stokes import assemble_stokes
+                assemble_stokes(lvl, self.mms if need_rhs else None,
+                                direct=(self.settings.solver.method == "direct"))
+            else:
+                raise NotImplementedError(problem)
+
+    # ------------------------------------------------------------------ solve
+
+    def solve(self):
+        s = self.settings
+        method = s.solver.method
+        finest = self.levels[-1]
+        self.logger.debug(f"Solving with {method} method ...")
+
+        with Timer() as t:
+            if method == "direct":
+                from dgtpu.solvers.direct import solve_direct
+                u_modal = synchronize(solve_direct(finest.op, finest.rhs))
+            elif method == "multigrid":
+                from dgtpu.solvers.multigrid import MultigridSolver
+                colors = [element_colors(l.Ni, l.Nj) for l in self.levels]
+                self.mg = MultigridSolver([l.op for l in self.levels],
+                                          self.transfers, self.transfer_types,
+                                          s, colors=colors)
+                u_modal, res, n, hist = self.mg.solve(finest.rhs)
+                u_modal = synchronize(u_modal)
+                self.residuals = [float(r) for r in np.asarray(hist)
+                                  if np.isfinite(r)]
+                self.logger.info(f"multigrid: {int(n)} V-cycles, final normalized "
+                                 f"residual {float(res):.6e}")
+                self._save_residual_history("multigrid")
+            elif method == "smoother":
+                u_modal = synchronize(self._solve_smoother(finest))
+            elif method == "smoother_amplification":
+                from dgtpu.solvers.amplification import calculate_amplification
+                return calculate_amplification(finest, self.results_dir)
+            elif method == "krylov":
+                from dgtpu.solvers.krylov import solve_krylov
+                u_modal = synchronize(solve_krylov(finest, s))
+            elif method == "pyamg":
+                from dgtpu.solvers.amg import solve_amg
+                u_modal, info = solve_amg(finest.op, finest.rhs)
+                u_modal = synchronize(u_modal)
+            elif method == "finite_volume_method":
+                from dgtpu.solvers.direct import solve_direct
+                u_modal = synchronize(solve_direct(finest.op, finest.rhs))
+            else:
+                raise NotImplementedError(method)
+        self.logger.info(f"Solving with {method} method took {t.elapsed():.4g} seconds")
+
+        return self._postprocess(u_modal)
+
+    def _solve_smoother(self, finest):
+        s = self.settings
+        name = s.solver.smoother if hasattr(s.solver, "smoother") else "block_gauss_seidel"
+        if str(name).lower() == "distributive_gauss_seidel":
+            from dgtpu.models.stokes import distributive_gauss_seidel_solve
+            u, hist, n, status = distributive_gauss_seidel_solve(
+                finest, finest.rhs, max_iterations=1_000_000, splitting="lsq")
+        else:
+            from dgtpu.solvers.relaxation_driver import residual_tracked_smoother
+            u, hist, n, status = residual_tracked_smoother(
+                finest.op, finest.rhs, name=name, direction="symmetric",
+                max_iterations=100,
+                strategy=getattr(getattr(s, "performance", None),
+                                 "smoother_parallelization", "sequential"),
+                colors=element_colors(finest.Ni, finest.Nj))
+        self.residuals = [float(r) for r in np.asarray(hist) if np.isfinite(r)]
+        self._save_residual_history("relaxation")
+        if int(status) == 0:
+            self.logger.info(f"Residual reduced by 6 orders in {int(n)} sweeps")
+        elif int(status) == 2:
+            self.logger.error(f"smoother diverged after {int(n)} sweeps "
+                              f"(normalized residual > 1e10)")
+        return u
+
+    def _save_residual_history(self, kind):
+        """Residual histories as .npy (reference pickles them, solver.py:128-138)."""
+        lvl = self.levels[-1]
+        path = os.path.join(os.path.dirname(self.results_dir), "..", "..",
+                            "postprocessing", kind)
+        path = os.path.abspath(path)
+        os.makedirs(path, exist_ok=True)
+        name = (f"residuals_{self.settings.problem.type}_{lvl.Ni}X{lvl.Nj}"
+                f"_nPoly{lvl.P_grid}")
+        if kind == "multigrid":
+            name += "_" + "_".join(sorted(set(self.transfer_types)))
+        name += "_circle" if self.settings.grid.circular else "_rectangle"
+        np.save(os.path.join(path, name + ".npy"), np.asarray(self.residuals))
+
+    # ---------------------------------------------------------------- post
+
+    def _postprocess(self, u_modal):
+        s = self.settings
+        finest = self.levels[-1]
+        problem = s.problem.type
+
+        residual_0 = lp_norm(finest.rhs, 2)
+        self.residual = float(lp_norm(finest.rhs - finest.op.matvec(u_modal), 2))
+        self.logger.info(f"L2 norm of the residual (modal): {self.residual:.6e} "
+                         f"(not normalized)")
+        self.logger.info(f"L2 norm of the residual (modal): "
+                         f"{self.residual/float(residual_0):.6e} (normalized)")
+
+        if s.solver.method == "finite_volume_method" or finest.discretization == "fvm":
+            u_nodal = np.asarray(u_modal)
+            self.L1_error_u = float(lp_norm(u_nodal - self._fvm_exact(finest), 1))
+            self.L2_error_u = float(lp_norm(u_nodal - self._fvm_exact(finest), 2))
+            self.logger.info(f"The norms of the error (nodal) are: "
+                             f"L1={self.L1_error_u:.6e}, L2={self.L2_error_u:.6e}")
+            self._write_summary_results(problem)
+            return u_modal
+
+        if s.solution.ordering == "global":
+            from dgtpu.models.stokes import reorder_global_to_local
+            u_modal = reorder_global_to_local(finest, u_modal)
+        u_el = u_modal.reshape(finest.N, finest.N_DOF_sol_tot)
+
+        if problem == "Stokes" and s.solver.method != "smoother":
+            from dgtpu.models.stokes import pressure_mean_shift
+            u_el = pressure_mean_shift(finest, u_el)
+
+        # modal -> nodal (dgfem.py:201-209), batched
+        Vg_u = jnp.asarray(finest.quad.V_sol_grid["u"])
+        nu_dof = finest.N_DOF_sol["u"]
+        u_nodal = u_el[:, :nu_dof] @ Vg_u.T
+        X, Y = jnp.asarray(finest.X), jnp.asarray(finest.Y)
+        u_exact = self.mms.u(X, Y)
+        self.L1_error_u = float(lp_norm(u_nodal - u_exact, 1))
+        self.L2_error_u = float(lp_norm(u_nodal - u_exact, 2))
+
+        point_data = {}
+        if problem == "Stokes":
+            np_dof = finest.N_DOF_sol["p"]
+            Vg_p = jnp.asarray(finest.quad.V_sol_grid["p"])
+            v_nodal = u_el[:, nu_dof:2 * nu_dof] @ Vg_u.T
+            p_nodal = u_el[:, -np_dof:] @ Vg_p.T
+            v_exact = self.mms.v(X, Y)
+            p_exact = self.mms.p(X, Y)
+            self.L1_error_v = float(lp_norm(v_nodal - v_exact, 1))
+            self.L2_error_v = float(lp_norm(v_nodal - v_exact, 2))
+            self.L1_error_p = float(lp_norm(p_nodal - p_exact, 1))
+            self.L2_error_p = float(lp_norm(p_nodal - p_exact, 2))
+            self.logger.info(f"The norms of the error in u-velocity (nodal) are: "
+                             f"L1={self.L1_error_u:.6e}, L2={self.L2_error_u:.6e}")
+            self.logger.info(f"The norms of the error in v-velocity (nodal) are: "
+                             f"L1={self.L1_error_v:.6e}, L2={self.L2_error_v:.6e}")
+            self.logger.info(f"The norms of the error in pressure (nodal) are: "
+                             f"L1={self.L1_error_p:.6e}, L2={self.L2_error_p:.6e}")
+        else:
+            self.logger.info(f"The norms of the error (nodal) are: "
+                             f"L1={self.L1_error_u:.6e}, L2={self.L2_error_u:.6e}")
+
+        if s.visualization.export:
+            nodal_lattices = self._nodal_lattices(finest, u_nodal, u_exact)
+            if problem == "Stokes":
+                nodal_lattices.update(self._nodal_lattices(finest, v_nodal, v_exact, "v"))
+                nodal_lattices.update(self._nodal_lattices(finest, p_nodal, p_exact, "pressure"))
+            elements_to_vtk(self.solution_visualization_filepath,
+                            self.geometry.x, self.geometry.y, nodal_lattices)
+        self._write_summary_results(problem)
+
+        if s.visualization.automatically_open_paraview:
+            executable = s.visualization.paraview_executable_path
+            if not executable:
+                raise ValueError("ParaView executable path must be set in paramfile.yml")
+            import subprocess
+            subprocess.Popen([rf"{executable}",
+                              self.solution_visualization_filepath + ".vts"])
+        self.u_nodal = np.asarray(u_nodal)
+        return u_modal
+
+    def _fvm_exact(self, level):
+        from dgtpu.models.fvm import fvm_cell_centers
+        xc, yc = fvm_cell_centers(level)
+        return np.asarray(self.mms.u(xc, yc))
+
+    def _nodal_lattices(self, level, num, exact, name="phi"):
+        """Per-element nodal fields -> global (il, jl) lattices for VTK."""
+        il = level.Ni * level.P_grid + 1
+        jl = level.Nj * level.P_grid + 1
+        G1 = level.P_grid + 1
+
+        def to_lattice(arr):
+            out = np.zeros((il, jl))
+            a = np.asarray(arr)
+            for m in range(level.N):
+                i, j = m % level.Ni, m // level.Ni
+                out[i * level.P_grid:i * level.P_grid + G1,
+                    j * level.P_grid:j * level.P_grid + G1] = \
+                    a[m].reshape(G1, G1, order="F")
+            return out
+
+        nn, ne = to_lattice(num), to_lattice(exact)
+        return {f"{name}": nn, f"{name}_exact": ne, f"abs_error_{name}": np.abs(nn - ne)}
+
+    def _write_summary_header(self, grid_filename):
+        s = self.settings
+        with open(self.solution_summary_filepath, "w") as f:
+            f.write("############################################\n")
+            f.write("###          SIMULATION SUMMARY          ###\n")
+            f.write("############################################\n\n")
+            f.write(f"### grid={grid_filename}\n")
+            exact = {k: getattr(s.problem.exact_solution, k, None)
+                     for k in (("u",) if s.problem.type == "Poisson" else ("u", "v", "p"))}
+            f.write(f"### exact solution={exact}\n")
+            f.write(f"### Ni={self.geometry.Ni}, Nj={self.geometry.Nj}\n")
+            f.write(f"### P grid={s.grid.polynomial_degree}\n")
+            f.write(f"### P sol={self.P_sol}\n")
+            f.write(f"### epsilon multiplier={s.problem.SIP_penalty_parameter_multiplier}\n")
+            if s.problem.type == "Stokes":
+                f.write(f"### gamma={s.problem.velocity_penalty_parameter}\n")
+            f.write("###\n")
+            f.write(f"### solver={'multigrid' if s.solver.method == 'multigrid' else 'direct'}\n\n")
+            f.write("############################################\n\n")
+
+    def _write_summary_results(self, problem):
+        with open(self.solution_summary_filepath, "a") as f:
+            f.write(f"Residual={self.residual}\n")
+            if problem == "Stokes":
+                f.write(f"L1 error={self.L1_error_u} (u-velocity)\n")
+                f.write(f"L2 error={self.L2_error_u} (u-velocity)\n")
+                f.write(f"L1 error={self.L1_error_v} (v-velocity)\n")
+                f.write(f"L2 error={self.L2_error_v} (v-velocity)\n")
+                f.write(f"L1 error={self.L1_error_p} (pressure)\n")
+                f.write(f"L2 error={self.L2_error_p} (pressure)\n")
+            else:
+                f.write(f"L1 error={self.L1_error_u}\n")
+                f.write(f"L2 error={self.L2_error_u}\n")

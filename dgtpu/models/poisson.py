@@ -8,6 +8,7 @@ batched contractions over the whole element/face sets.
 import jax.numpy as jnp
 
 from dgtpu.models.faces import FaceData, sip_dirichlet_rhs, sip_terms
+from dgtpu.ops.linalg import host_inv
 from dgtpu.ops.stencil import StencilOperator, stencil_from_contributions
 
 
@@ -73,7 +74,7 @@ def assemble_poisson(level, mms=None, gt=None):
         level.nbr, level.nbr_mask)
 
     M = mass_matrices(level, gt=gt)
-    inv_mass = jnp.linalg.inv(M)
+    inv_mass = host_inv(M)
     if settings.problem.multiply_inverse_mass_matrix:
         op = op.premultiply_blockdiag(inv_mass)
 

@@ -1,0 +1,174 @@
+"""Element-block relaxation smoothers.
+
+The reference's smoother menu (``dgfem/relaxation.py:103-218``) — jacobi,
+jacobi_pyamg, block_jacobi, gauss_seidel, gauss_seidel_pyamg,
+block_gauss_seidel, block_gauss_seidel_pyamg — all reduce mathematically to
+two kernels over the element-block partition:
+
+* **block Jacobi**:       x <- w * Dinv (b - (A - D) x) + (1 - w) x
+* **block Gauss-Seidel**: for block rows i in sweep order,
+                          x_i <- Dinv_i (b_i - sum_{j!=i} A_ij x_j)
+
+(The reference's scalar-named variants operate on the BSR blocks too:
+pyamg's ``bsr_gauss_seidel`` solves the diagonal block per block row, and
+its plain ``gauss_seidel``/``jacobi`` splitting solves use the block
+diagonal from ``split_block_EDF``.)
+
+Two TPU execution strategies:
+
+* ``sequential`` — a ``lax.scan`` over element rows, bit-faithful to the
+  reference/pyamg lexicographic sweep (forward/backward/symmetric).  This is
+  the parity mode used to reproduce residual histories.
+* ``redblack`` — checkerboard-colored sweeps: each color updates as one
+  batched solve, 2 fused steps per sweep, no sequential dependence — the TPU
+  fast path.  (A permitted numerical deviation: the iteration matrix differs
+  from lexicographic GS; offered under the same config strings via
+  ``performance.smoother_parallelization``.)
+
+All functions are jit-safe with static ``iterations``/``direction``.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def block_diag_inv(op):
+    return jnp.linalg.inv(op.diag_blocks())
+
+
+def block_jacobi(op, rhs, u, omega=1.0, iterations=1, Dinv=None):
+    """Damped block Jacobi (relaxation.py:103-150 semantics)."""
+    n, _, br, bc = op.blocks.shape
+    if Dinv is None:
+        Dinv = block_diag_inv(op)
+    rhs2 = rhs.reshape(n, br)
+
+    def body(_, u):
+        off = op.offdiag_matvec(u).reshape(n, br)
+        unew = jnp.einsum("nij,nj->ni", Dinv, rhs2 - off)
+        return (omega * unew + (1 - omega) * u.reshape(n, bc)).reshape(-1)
+
+    return jax.lax.fori_loop(0, iterations, body, u.reshape(-1))
+
+
+def _gs_sweep_sequential(op, rhs, u, Dinv, omega, backward):
+    """One lexicographic block-GS sweep as a lax.scan over element rows."""
+    n, _, br, bc = op.blocks.shape
+    rhs2 = rhs.reshape(n, br)
+    u = u.reshape(n, bc)
+    order = jnp.arange(n - 1, -1, -1) if backward else jnp.arange(n)
+    # zero the diagonal slot so a full gather-contract gives the off-diag part
+    off_blocks = op.blocks.at[:, 0].set(0.0)
+
+    def step(u, e):
+        ublk = u[op.nbr[e]]                            # (5, Bc)
+        contrib = jnp.einsum("sij,sj->i", off_blocks[e], ublk)
+        unew = Dinv[e] @ (rhs2[e] - contrib)
+        unew = omega * unew + (1 - omega) * u[e]
+        return u.at[e].set(unew), None
+
+    u, _ = jax.lax.scan(step, u, order)
+    return u.reshape(-1)
+
+
+def _gs_sweep_colored(op, rhs, u, Dinv, omega, colors):
+    """Red-black block-GS sweep: one batched update per color."""
+    n, _, br, bc = op.blocks.shape
+    rhs2 = rhs.reshape(n, br)
+    u = u.reshape(n, bc)
+    for c in (0, 1):
+        sel = (colors == c)[:, None]
+        off = op.offdiag_matvec(u.reshape(-1)).reshape(n, br)
+        unew = jnp.einsum("nij,nj->ni", Dinv, rhs2 - off)
+        unew = omega * unew + (1 - omega) * u
+        u = jnp.where(sel, unew, u)
+    return u.reshape(-1)
+
+
+def element_colors(Ni, Nj):
+    """Checkerboard coloring of the element grid (m = j*Ni + i)."""
+    m = jnp.arange(Ni * Nj)
+    i, j = m % Ni, m // Ni
+    return ((i + j) % 2).astype(jnp.int32)
+
+
+def block_gauss_seidel(op, rhs, u, direction="symmetric", omega=1.0, iterations=1,
+                       Dinv=None, strategy="sequential", colors=None):
+    """Block Gauss-Seidel with pyamg sweep semantics.
+
+    ``direction``: 'forward' | 'backward' | 'symmetric' (forward then backward
+    per iteration, pyamg_relaxation.py:240-250).
+    """
+    if Dinv is None:
+        Dinv = block_diag_inv(op)
+
+    if strategy == "redblack":
+        if colors is None:
+            raise ValueError("redblack strategy needs element colors")
+
+        def one_iter(_, u):
+            return _gs_sweep_colored(op, rhs, u, Dinv, omega, colors)
+        # direction is immaterial for colored sweeps; symmetric does 2 passes
+        n_pass = 2 if direction == "symmetric" else 1
+
+        def body(_, u):
+            for _ in range(n_pass):
+                u = _gs_sweep_colored(op, rhs, u, Dinv, omega, colors)
+            return u
+        return jax.lax.fori_loop(0, iterations, body, u.reshape(-1))
+
+    def body(_, u):
+        if direction in ("forward", "symmetric"):
+            u = _gs_sweep_sequential(op, rhs, u, Dinv, omega, backward=False)
+        if direction in ("backward", "symmetric"):
+            u = _gs_sweep_sequential(op, rhs, u, Dinv, omega, backward=True)
+        return u
+
+    return jax.lax.fori_loop(0, iterations, body, u.reshape(-1))
+
+
+SMOOTHER_ALIASES = {
+    # every reference smoother string -> (kernel, kwargs)
+    "jacobi": "jacobi",
+    "jacobi_pyamg": "jacobi",
+    "block_jacobi": "jacobi",
+    "gauss_seidel": "gs",
+    "gauss_seidel_pyamg": "gs",
+    "block_gauss_seidel": "gs",
+    "block_gauss_seidel_pyamg": "gs",
+    "block_gauss_seidel_rb": "gs_rb",
+    "distributive_gauss_seidel": "dgs",
+}
+
+
+def normalize_smoother_name(name):
+    """Case-insensitive smoother lookup.
+
+    (The reference paramfile spells ``distributive_Gauss_Seidel`` while the
+    method is ``distributive_gauss_seidel`` — a latent AttributeError there;
+    normalized here.)
+    """
+    key = str(name).lower()
+    if key not in SMOOTHER_ALIASES:
+        raise ValueError(f"Unknown smoother {name!r}; options: {sorted(SMOOTHER_ALIASES)}")
+    return key
+
+
+def apply_smoother(name, op, rhs, u, direction="symmetric", omega=1.0,
+                   iterations=1, Dinv=None, strategy="sequential", colors=None):
+    """Dispatch a reference smoother string onto the TPU kernels."""
+    kind = SMOOTHER_ALIASES[normalize_smoother_name(name)]
+    iterations = int(iterations)
+    if kind == "jacobi":
+        return block_jacobi(op, rhs, u, omega=omega, iterations=iterations, Dinv=Dinv)
+    if kind == "gs":
+        return block_gauss_seidel(op, rhs, u, direction=direction, omega=omega,
+                                  iterations=iterations, Dinv=Dinv,
+                                  strategy=strategy, colors=colors)
+    if kind == "gs_rb":
+        return block_gauss_seidel(op, rhs, u, direction=direction, omega=omega,
+                                  iterations=iterations, Dinv=Dinv,
+                                  strategy="redblack", colors=colors)
+    raise ValueError(f"Smoother {name!r} requires the Stokes distributive driver")

@@ -54,7 +54,11 @@ class Settings:
                 assert settings.problem.multiply_inverse_mass_matrix is True
 
     def update_setting(self, attribute_path, new_value):
-        if not self._attribute_exists(attribute_path):
+        """Dotted-path setter.  Parent nodes must exist; the leaf may be new
+        (e.g. ``solver.discretization`` / ``solver.method`` are injected by the
+        CLI overlay, as in the reference where the existence check is a no-op)."""
+        parent = attribute_path.rsplit(".", 1)[0] if "." in attribute_path else None
+        if parent and not self._attribute_exists(parent):
             raise AttributeError(f'Attribute "{attribute_path}" does not exist!')
         keys = attribute_path.split(".")
         obj = self

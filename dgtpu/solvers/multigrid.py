@@ -1,0 +1,144 @@
+"""Multigrid V-cycle solver — fully on-device, one jitted while_loop.
+
+Reference: ``dgfem/solver.py:114-207``.  The recursion over levels is
+statically unrolled at trace time; each cycle is a fixed graph of smoother
+sweeps, stencil matvecs, transfer einsums and the cached coarse solve, and
+the outer tolerance loop is a ``lax.while_loop`` carrying the residual
+history (the reference pickles this history for its thesis plots; we return
+it).  Divergence (nan/inf residual) exits the loop and is reported as a
+status code instead of the reference's ``exit()``
+(relaxation.py:214-217 -> SURVEY §5 failure-detection note).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from dgtpu.ops.linalg import host_lu_inverse
+from dgtpu.ops.smoothers import (apply_smoother, block_diag_inv,
+                                 element_colors, normalize_smoother_name)
+from dgtpu.utils.norms import lp_norm
+
+
+class SmootherConfig:
+    def __init__(self, name, direction, iterations, omega):
+        self.name = normalize_smoother_name(name)
+        self.direction = direction
+        self.iterations = int(iterations)
+        self.omega = float(omega)
+
+    @classmethod
+    def from_settings(cls, node):
+        return cls(node.smoother, node.direction, node.iterations,
+                   node.relaxation_factor)
+
+
+class MultigridSolver:
+    """V-cycle driver over an assembled level hierarchy (coarsest first).
+
+    Parameters
+    ----------
+    ops : list of StencilOperator, coarsest -> finest (the per-level 'BSR')
+    transfers : list of TransferOp, transfers[k-2] sits between level k and k-1
+    types : list of 'penalty'|'polynomial'|'geometric' per transfer
+    settings : Settings (smoother configs per coarsening type, tolerances)
+    colors : list of element colorings per level (for the red-black fast path)
+    """
+
+    def __init__(self, ops, transfers, types, settings, colors=None):
+        assert len(ops) == len(transfers) + 1 == len(types) + 1
+        self.ops = ops
+        self.transfers = transfers
+        self.types = types
+        self.settings = settings
+        self.strategy = getattr(getattr(settings, "performance", None),
+                                "smoother_parallelization", "sequential")
+        self.colors = colors or [None] * len(ops)
+        self.Dinv = [block_diag_inv(op) for op in ops]
+        self.coarse_solver = settings.solver.multigrid.coarse_grid_solver
+        if self.coarse_solver in ("direct", "amg"):
+            # dense inverse cached at setup; applied as one matmul per visit
+            self.coarse_inv = host_lu_inverse(ops[0].to_dense())
+        else:
+            self.coarse_inv = None
+        self._smoother_cfg = {}
+        for t in set(types):
+            node = getattr(settings.solver.multigrid, f"{t}_coarsening")
+            self._smoother_cfg[t] = (SmootherConfig.from_settings(node.pre_smoother),
+                                     SmootherConfig.from_settings(node.post_smoother))
+        self._solve_jit = None
+
+    # -- one V-cycle (statically unrolled recursion) -------------------------
+
+    def _smooth(self, cfg, k, rhs, u, iterations=None):
+        return apply_smoother(cfg.name, self.ops[k], rhs, u,
+                              direction=cfg.direction, omega=cfg.omega,
+                              iterations=iterations or cfg.iterations,
+                              Dinv=self.Dinv[k],
+                              strategy=self.strategy, colors=self.colors[k])
+
+    def v_cycle(self, k, rhs, u):
+        """Level index k = number of levels in this sub-hierarchy (as in solver.py:141)."""
+        if k > 1:
+            pre, post = self._smoother_cfg[self.types[k - 2]]
+            u = self._smooth(pre, k - 1, rhs, u)
+            residual = rhs - self.ops[k - 1].matvec(u)
+            rhs_coarse = self.transfers[k - 2].restrict(residual)
+            u_coarse = self.v_cycle(k - 1, rhs_coarse, jnp.zeros_like(rhs_coarse))
+            u = u + self.transfers[k - 2].prolong(u_coarse)
+            u = self._smooth(post, k - 1, rhs, u)
+        else:
+            if self.coarse_inv is not None:
+                u = self.coarse_inv @ rhs
+            else:
+                pre, _ = self._smoother_cfg[self.types[0]]
+                u = self._smooth(pre, 0, rhs, u, iterations=10)
+        return u
+
+    # -- outer tolerance loop -------------------------------------------------
+
+    def _build_solve(self, tol, max_cycles):
+        n_lev = len(self.ops)
+        A = self.ops[-1]
+
+        def solve(rhs, u0):
+            res0 = lp_norm(rhs - A.matvec(u0), 2)
+            hist0 = jnp.full((max_cycles + 1,), jnp.nan, dtype=rhs.dtype)
+
+            def cond(state):
+                n, u, res, hist = state
+                return (n < max_cycles) & (res >= tol) & jnp.isfinite(res)
+
+            def body(state):
+                n, u, res, hist = state
+                hist = hist.at[n].set(res)
+                u = self.v_cycle(n_lev, rhs, u)
+                res = lp_norm(rhs - A.matvec(u), 2) / res0
+                return n + 1, u, res, hist
+
+            res_init = lp_norm(rhs - A.matvec(u0), 2) / res0
+            n, u, res, hist = jax.lax.while_loop(
+                cond, body, (jnp.int64(0) if rhs.dtype == jnp.float64 else jnp.int32(0),
+                             u0, res_init, hist0))
+            hist = hist.at[n].set(res)
+            return u, res, n, hist
+
+        return jax.jit(solve)
+
+    def solve(self, rhs, u0=None, tol=None, max_cycles=None):
+        """Run V-cycles to tolerance; returns (u, final_residual, n_cycles, history).
+
+        ``history[i]`` is the normalized residual *before* cycle i (so
+        history[0] == 1.0), matching the reference's pickled residual lists
+        (solver.py:118-123).
+        """
+        tol = tol if tol is not None else self.settings.solver.multigrid.tolerance
+        max_cycles = int(max_cycles if max_cycles is not None
+                         else self.settings.solver.multigrid.max_cycles)
+        if u0 is None:
+            u0 = jnp.zeros_like(rhs)
+        if self._solve_jit is None or self._solve_key != (tol, max_cycles):
+            self._solve_jit = self._build_solve(tol, max_cycles)
+            self._solve_key = (tol, max_cycles)
+        return self._solve_jit(rhs, u0)
