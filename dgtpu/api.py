@@ -150,7 +150,7 @@ class DGFEM:
             self.levels[0:0] = new
             self.transfers[0:0] = [make_transfer("penalty", p_fine=self.P_sol["u"])
                                    for _ in range(len(sigmas) - 1)]
-            self.transfer_types[0:0] = ["penalty"] * (len(sigmas) - 1)
+            self.transfer_types[0:0] = ["penalty_parameter"] * (len(sigmas) - 1)
 
         if mg.polynomial_coarsening.enabled:
             p_levels = {v: sorted(map(int, str(getattr(
@@ -305,9 +305,8 @@ class DGFEM:
     def _save_residual_history(self, kind):
         """Residual histories as .npy (reference pickles them, solver.py:128-138)."""
         lvl = self.levels[-1]
-        path = os.path.join(os.path.dirname(self.results_dir), "..", "..",
-                            "postprocessing", kind)
-        path = os.path.abspath(path)
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        path = os.path.join(repo_root, "postprocessing", kind)
         os.makedirs(path, exist_ok=True)
         name = (f"residuals_{self.settings.problem.type}_{lvl.Ni}X{lvl.Nj}"
                 f"_nPoly{lvl.P_grid}")

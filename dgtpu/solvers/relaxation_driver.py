@@ -49,7 +49,8 @@ def residual_tracked_smoother(op, rhs, u0=None, name="block_gauss_seidel",
             return n + 1, u, res, hist
 
         n0 = jnp.asarray(0, dtype=jnp.int64 if rhs.dtype == jnp.float64 else jnp.int32)
-        n, u, res, hist = jax.lax.while_loop(cond, body, (n0, u0, jnp.inf, hist0))
+        res_init = lp_norm(rhs - op.matvec(u0), 2) / res0
+        n, u, res, hist = jax.lax.while_loop(cond, body, (n0, u0, res_init, hist0))
         status = jnp.where(res < tol, 0, jnp.where(res > div_tol, 2, 1))
         return u, hist, n, status
 

@@ -1,0 +1,155 @@
+"""Smoothers, transfer operators, multigrid: parity with the numpy oracle."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dgtpu.geometry import Geometry
+from dgtpu.level import CoarseGridLevel, GridLevel
+from dgtpu.mms import ManufacturedSolution
+from dgtpu.models.poisson import assemble_poisson
+from dgtpu.ops.smoothers import (block_diag_inv, block_gauss_seidel,
+                                 block_jacobi, element_colors)
+from dgtpu.ops.transfer import (dg_to_fvm_restriction, fvm_geometric_prolongation,
+                                geometric_prolongation, geometric_restriction,
+                                make_transfer, p_restriction)
+from dgtpu.solvers.direct import solve_direct
+from dgtpu.solvers.relaxation_driver import residual_tracked_smoother
+from tests.conftest import INPUT_DIR
+from tests.numpy_reference import numpy_block_gs_sweep, numpy_block_jacobi_sweep
+
+MMS = {"u": "sin(pi*x)*sin(pi*y)"}
+
+
+def _setup(base_settings, n=4, p_grid=1, p_sol=2, premul=True):
+    base_settings.update_setting("grid.polynomial_degree", p_grid)
+    base_settings.update_setting("problem.multiply_inverse_mass_matrix", premul)
+    geom = Geometry(os.path.join(INPUT_DIR, f"Rectangle_{n}X{n}_nPoly{p_grid}.xyz"),
+                    base_settings)
+    lvl = GridLevel(geom, base_settings, ["u"], {"u": p_sol})
+    mms = ManufacturedSolution(MMS, "Poisson", 1.0)
+    op, rhs, _ = assemble_poisson(lvl, mms)
+    return lvl, op, rhs
+
+
+def test_block_gs_matches_numpy_sweep(base_settings):
+    lvl, op, rhs = _setup(base_settings)
+    A = np.asarray(op.to_dense())
+    b = np.asarray(rhs)
+    B = lvl.N_DOF_sol_tot
+    rng = np.random.default_rng(1)
+    x0 = rng.standard_normal(b.shape)
+    # forward
+    x_np = numpy_block_gs_sweep(A, b, x0, B)
+    x_jx = block_gauss_seidel(op, rhs, jnp.asarray(x0), direction="forward",
+                              iterations=1)
+    assert np.abs(np.asarray(x_jx) - x_np).max() < 1e-11
+    # symmetric x2
+    x_np = x0
+    for _ in range(2):
+        x_np = numpy_block_gs_sweep(A, b, x_np, B, backward=False)
+        x_np = numpy_block_gs_sweep(A, b, x_np, B, backward=True)
+    x_jx = block_gauss_seidel(op, rhs, jnp.asarray(x0), direction="symmetric",
+                              iterations=2)
+    assert np.abs(np.asarray(x_jx) - x_np).max() < 1e-10
+
+
+def test_block_jacobi_matches_numpy(base_settings):
+    lvl, op, rhs = _setup(base_settings)
+    A = np.asarray(op.to_dense())
+    b = np.asarray(rhs)
+    B = lvl.N_DOF_sol_tot
+    x0 = np.zeros_like(b)
+    x_np = x0
+    for _ in range(3):
+        x_np = numpy_block_jacobi_sweep(A, b, x_np, B, omega=0.8)
+    x_jx = block_jacobi(op, rhs, jnp.asarray(x0), omega=0.8, iterations=3)
+    assert np.abs(np.asarray(x_jx) - x_np).max() < 1e-11
+
+
+def test_redblack_gs_converges(base_settings):
+    lvl, op, rhs = _setup(base_settings)
+    colors = element_colors(lvl.Ni, lvl.Nj)
+    u, hist, n, status = residual_tracked_smoother(
+        op, rhs, name="block_gauss_seidel", direction="symmetric",
+        max_iterations=200, strategy="redblack", colors=colors)
+    assert int(status) == 0, f"red-black GS did not converge: {np.asarray(hist)[:5]}"
+
+
+def test_sequential_gs_solver_converges(base_settings):
+    lvl, op, rhs = _setup(base_settings)
+    u, hist, n, status = residual_tracked_smoother(
+        op, rhs, name="block_gauss_seidel_pyamg", direction="symmetric",
+        max_iterations=200)
+    assert int(status) == 0
+    u_direct = np.asarray(solve_direct(op, rhs))
+    assert np.abs(np.asarray(u) - u_direct).max() < 1e-4
+
+
+def test_matvec_matches_dense(base_settings):
+    lvl, op, rhs = _setup(base_settings)
+    A = np.asarray(op.to_dense())
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(A.shape[1])
+    assert np.abs(np.asarray(op.matvec(jnp.asarray(x))) - A @ x).max() < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# transfer operators
+# ---------------------------------------------------------------------------
+
+def test_p_restriction_selects_low_modes():
+    R = p_restriction(5, 3)
+    assert R.shape == (16, 36)
+    # row (i=2, j=1) of coarse -> fine column 2 + 1*6 = 8
+    assert R[2 + 1 * 4, 2 + 1 * 6] == 1.0
+    assert R.sum() == 16.0  # exactly one 1 per row
+
+
+def test_geometric_transfer_reproduces_reference_constants():
+    """The generated p=1, cf=2 operators equal the reference's sqrt(3) table
+    (dgfem.py:362-367) — derived independently from L2 projection."""
+    R = geometric_restriction(1, 2)
+    s3 = np.sqrt(3.0)
+    expected = np.array([
+        [1, 0, 0, 0, 1, 0, 0, 0, 1, 0, 0, 0, 1, 0, 0, 0]]) / 4.0
+    assert np.allclose(R[0], expected[0], atol=1e-14)
+    row1 = np.array([-s3, 1, 0, 0, s3, 1, 0, 0, -s3, 1, 0, 0, s3, 1, 0, 0]) / 8.0
+    row2 = np.array([-s3, 0, 1, 0, -s3, 0, 1, 0, s3, 0, 1, 0, s3, 0, 1, 0]) / 8.0
+    row3 = np.array([3, -s3, -s3, 1, -3, -s3, s3, 1, -3, s3, -s3, 1, 3, s3, s3, 1]) / 16.0
+    assert np.allclose(R[1], row1, atol=1e-14)
+    assert np.allclose(R[2], row2, atol=1e-14)
+    assert np.allclose(R[3], row3, atol=1e-14)
+
+
+def test_geometric_prolongation_exact_on_coarse_polys():
+    """P must reproduce any coarse-representable function exactly on children."""
+    for p in (1, 2):
+        P = geometric_prolongation(p, 2)
+        R = geometric_restriction(p, 2)
+        # R P = identity (L2 projection of an exactly representable function)
+        assert np.allclose(R @ P, np.eye((p + 1) ** 2), atol=1e-13)
+
+
+def test_fvm_transfer_constants():
+    P = fvm_geometric_prolongation()
+    assert np.allclose(P[0], [9 / 16, 0, 0, 0])
+    assert np.allclose(P[1], [9 / 16, 3 / 16, 0, 0])
+    assert np.allclose(P[5], [9 / 16, 3 / 16, 3 / 16, 1 / 16])
+    R1 = dg_to_fvm_restriction(1)
+    assert np.allclose(R1, [[0.5, 0, 0, 0]])
+
+
+def test_geometric_tile_reshape_roundtrip():
+    """Restrict-then-prolong of a coarse-representable field is exact,
+    including the m-order tile gather/scatter (solver.py:152-190 semantics)."""
+    p, Ni_c, Nj_c = 1, 3, 2
+    t = make_transfer("geometric", p_fine=p, Ni_c=Ni_c, Nj_c=Nj_c, cf=2)
+    B = (p + 1) ** 2
+    rng = np.random.default_rng(2)
+    u_c = rng.standard_normal(Ni_c * Nj_c * B)
+    fine = t.prolong(jnp.asarray(u_c))
+    back = t.restrict(fine)
+    assert np.abs(np.asarray(back) - u_c).max() < 1e-13
