@@ -1,0 +1,147 @@
+"""Algebraic multigrid (`-amg` path).
+
+The reference delegates to pyAMG's C++ Ruge-Stuben solver
+(``solver.py:68-77``).  This environment has no pyAMG; the same capability is
+provided by a self-contained **smoothed-aggregation AMG**: host-side setup
+(strength graph, greedy aggregation, smoothed tentative prolongator, Galerkin
+RAP) with the V-cycles running on device as dense per-level operators — at the
+reference's problem sizes the dense layout is the fast TPU representation.
+If pyamg is importable it is used instead for bit-parity with the reference.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dgtpu.ops.stencil import as_dense_operator
+from dgtpu.utils.norms import lp_norm
+
+
+def _try_pyamg(A, rhs, tol, maxiter):
+    try:
+        import pyamg
+        import scipy.sparse as sp
+    except ImportError:
+        return None
+    ml = pyamg.ruge_stuben_solver(sp.csr_matrix(np.asarray(A)))
+    residuals = []
+    u, info = ml.solve(np.asarray(rhs), tol=tol, maxiter=maxiter,
+                       residuals=residuals, return_info=True)
+    return jnp.asarray(u), {"residuals": residuals, "info": info}
+
+
+def _strength_graph(A, theta=0.08):
+    """Symmetric strength-of-connection: |a_ij| >= theta * sqrt(a_ii a_jj)."""
+    d = np.sqrt(np.abs(np.diag(A)))
+    S = np.abs(A) >= theta * np.outer(d, d)
+    np.fill_diagonal(S, False)
+    return S
+
+
+def _aggregate(S):
+    """Greedy aggregation over the strength graph; returns agg index per node."""
+    n = S.shape[0]
+    agg = -np.ones(n, dtype=np.int64)
+    next_agg = 0
+    # pass 1: seed aggregates from untouched nodes and their strong neighbors
+    for i in range(n):
+        if agg[i] >= 0:
+            continue
+        nbrs = np.nonzero(S[i])[0]
+        if np.all(agg[nbrs] < 0):
+            agg[i] = next_agg
+            agg[nbrs] = next_agg
+            next_agg += 1
+    # pass 2: attach leftovers to a neighboring aggregate (or own aggregate)
+    for i in range(n):
+        if agg[i] >= 0:
+            continue
+        nbrs = np.nonzero(S[i])[0]
+        assigned = nbrs[agg[nbrs] >= 0]
+        if len(assigned):
+            agg[i] = agg[assigned[0]]
+        else:
+            agg[i] = next_agg
+            next_agg += 1
+    return agg, next_agg
+
+
+def _sa_hierarchy(A, max_coarse=40, max_levels=10, omega=4.0 / 3.0):
+    """Smoothed-aggregation setup: list of (A_l, P_l) pairs, finest first."""
+    levels = []
+    A_l = A
+    for _ in range(max_levels):
+        n = A_l.shape[0]
+        if n <= max_coarse:
+            break
+        S = _strength_graph(A_l)
+        agg, n_agg = _aggregate(S)
+        if n_agg >= n:
+            break
+        T = np.zeros((n, n_agg))
+        T[np.arange(n), agg] = 1.0
+        # normalize columns (constant near-nullspace candidate)
+        T /= np.maximum(np.sqrt((T ** 2).sum(axis=0)), 1e-30)
+        Dinv = 1.0 / np.diag(A_l)
+        P = T - omega * (Dinv[:, None] * (A_l @ T))
+        A_c = P.T @ A_l @ P
+        levels.append((A_l, P))
+        A_l = A_c
+    return levels, A_l
+
+
+def solve_amg(op, rhs, tol=1e-6, maxiter=1000):
+    """AMG solve to relative tolerance (reference: solver.py:68-77).
+
+    Returns (u, info-dict with residual history).
+    """
+    A = np.asarray(as_dense_operator(op).A)
+    res = _try_pyamg(A, rhs, tol, maxiter)
+    if res is not None:
+        return res
+
+    levels, A_coarse = _sa_hierarchy(A)
+    A_coarse_inv = jnp.asarray(np.linalg.inv(A_coarse))
+    dev = [(jnp.asarray(Al), jnp.asarray(P), jnp.asarray(1.0 / np.diag(Al)))
+           for Al, P in levels]
+
+    def jacobi(Al, Dinv, b, x, sweeps=2, omega=2.0 / 3.0):
+        for _ in range(sweeps):
+            x = x + omega * Dinv * (b - Al @ x)
+        return x
+
+    def v_cycle(lvl, b, x):
+        if lvl == len(dev):
+            return A_coarse_inv @ b
+        Al, P, Dinv = dev[lvl]
+        x = jacobi(Al, Dinv, b, x)
+        r = b - Al @ x
+        e = v_cycle(lvl + 1, P.T @ r, jnp.zeros(P.shape[1], dtype=b.dtype))
+        x = x + P @ e
+        x = jacobi(Al, Dinv, b, x)
+        return x
+
+    @jax.jit
+    def run(rhs):
+        res0 = jnp.linalg.norm(rhs)
+        hist0 = jnp.full((maxiter + 1,), jnp.nan, dtype=rhs.dtype)
+
+        def cond(state):
+            n, x, r, hist = state
+            return (n < maxiter) & (r >= tol) & jnp.isfinite(r)
+
+        def body(state):
+            n, x, r, hist = state
+            hist = hist.at[n].set(r)
+            x = v_cycle(0, rhs, x)
+            r = jnp.linalg.norm(rhs - dev[0][0] @ x) / res0
+            return n + 1, x, r, hist
+
+        state = (jnp.asarray(0, dtype=jnp.int64 if rhs.dtype == jnp.float64 else jnp.int32),
+                 jnp.zeros_like(rhs), jnp.asarray(1.0, dtype=rhs.dtype), hist0)
+        n, x, r, hist = jax.lax.while_loop(cond, body, state)
+        return x, r, n, hist
+
+    x, r, n, hist = run(jnp.asarray(rhs))
+    return x, {"residuals": [float(v) for v in np.asarray(hist) if np.isfinite(v)],
+               "info": 0 if float(r) < tol else 1}

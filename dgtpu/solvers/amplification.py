@@ -1,0 +1,104 @@
+"""Smoother amplification analysis (local Fourier analysis), ``-amp`` flag.
+
+Reference: ``dgfem/relaxation.py:21-101``.  For each Fourier mode
+(theta_x, theta_y) the initial guess ``exp(i(theta_x k + theta_y l))`` is
+projected to modal space, one symmetric block-GS sweep is applied to the
+homogeneous system, and the amplitude is sampled at the four center elements.
+
+TPU-native translation: the reference loops over the 101x101 theta grid in
+Python (10201 sequential smoother calls); here the *whole theta grid is one
+vmapped batch* of complex sweeps on device.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dgtpu.ops.linalg import host_inv
+from dgtpu.ops.smoothers import _gs_sweep_sequential
+
+
+def calculate_amplification(level, results_dir, n_theta=101, export=True):
+    """Returns dict with A1..A4 amplitude arrays over the theta grid."""
+    theta = np.linspace(-np.pi, np.pi, n_theta)
+    op = level.op
+    is_fvm = level.discretization == "fvm"
+
+    if not is_fvm:
+        if level.P_sol["u"] != level.P_grid:
+            raise ValueError("smoother amplification requires P_sol == P_grid "
+                             "(nodal-modal Fourier projection must be square)")
+        V = np.asarray(level.quad.V_sol_grid["u"])
+        Vinv = np.asarray(host_inv(V))
+        x0, y0 = float(level.X[0][0]), float(level.Y[0][0])
+        xL = float(np.max(level.X))
+        yL = float(np.max(level.Y))
+        Lx, Ly = xL - x0, yL - y0
+        Ni_tot = level.Ni * (level.N_grid - 1)
+        Nj_tot = level.Nj * (level.N_grid - 1)
+        k = (np.asarray(level.X) - x0) * Ni_tot / Lx       # (N, G)
+        l = (np.asarray(level.Y) - y0) * Nj_tot / Ly
+        k_dev, l_dev = jnp.asarray(k), jnp.asarray(l)
+        Vinv_dev = jnp.asarray(Vinv)
+        V_dev = jnp.asarray(V)
+    else:
+        i_idx = jnp.arange(level.N) % level.Ni
+        j_idx = jnp.arange(level.N) // level.Ni
+
+    blocks_c = op.blocks.astype(jnp.complex128)
+    from dgtpu.ops.stencil import StencilOperator
+    op_c = StencilOperator(blocks_c, op.nbr, op.mask)
+    Dinv_c = jnp.asarray(np.linalg.inv(np.asarray(op.diag_blocks())),
+                         dtype=jnp.complex128)
+
+    def one_mode(tx, ty):
+        if not is_fvm:
+            f_nodal = jnp.exp(1j * (tx * k_dev + ty * l_dev))      # (N, G)
+            u0 = (f_nodal @ Vinv_dev.T).reshape(-1)                # modal
+        else:
+            u0 = jnp.exp(1j * (tx * i_idx + ty * j_idx))
+        rhs = jnp.zeros_like(u0)
+        u = _gs_sweep_sequential(op_c, rhs, u0, Dinv_c, 1.0, backward=False)
+        u = _gs_sweep_sequential(op_c, rhs, u, Dinv_c, 1.0, backward=True)
+        if not is_fvm:
+            u_nodal = u.reshape(level.N, -1) @ V_dev.T
+        else:
+            u_nodal = u.reshape(level.N, 1)
+        m = lambda i, j: j * level.Ni + i
+        ic, jc = level.Ni // 2, level.Nj // 2
+        if not is_fvm:
+            ns = level.N_sol["u"]
+            return jnp.stack([
+                jnp.abs(u_nodal[m(ic - 1, jc - 1), -1]),
+                jnp.abs(u_nodal[m(ic, jc - 1), -1 - ns]),
+                jnp.abs(u_nodal[m(ic - 1, jc), ns]),
+                jnp.abs(u_nodal[m(ic, jc), 0]),
+            ])
+        return jnp.stack([jnp.abs(u_nodal[m(ic - 1, jc - 1), 0]),
+                          jnp.abs(u_nodal[m(ic, jc - 1), 0]),
+                          jnp.abs(u_nodal[m(ic - 1, jc), 0]),
+                          jnp.abs(u_nodal[m(ic, jc), 0])])
+
+    TX, TY = np.meshgrid(theta, theta, indexing="ij")
+    amps = jax.jit(jax.vmap(one_mode))(jnp.asarray(TX.ravel()),
+                                       jnp.asarray(TY.ravel()))
+    amps = np.asarray(amps).reshape(n_theta, n_theta, 4)
+    out = {"theta": theta}
+    for q in range(4):
+        A = amps[:, :, q]
+        out[f"A{q+1}"] = A
+        print(f"np.min(A{q+1})={A.min()}")
+        print(f"np.max(A{q+1})={A.max()}")
+    if export:
+        os.makedirs(results_dir, exist_ok=True)
+        np.savez(os.path.join(results_dir, "amplification.npz"), **out)
+        try:
+            from dgtpu.visualization import plot_amplification_factor
+            for q in range(4):
+                plot_amplification_factor(out[f"A{q+1}"], theta, theta,
+                                          results_dir, suffix=str(q))
+        except Exception:
+            pass
+    return out

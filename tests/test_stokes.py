@@ -1,0 +1,180 @@
+"""Stokes: exactness, ordering equivalence, distributive GS, Krylov, Epsilon."""
+
+import numpy as np
+import pytest
+
+from dgtpu.api import DGFEM
+from dgtpu.settings import Settings, load_params
+
+POLY = {"u": "y**2", "v": "x**2", "p": "x + y", "tag": "poly"}
+
+
+def stokes_settings(method, ordering="local", n=4, p=2, pu=2, pp=1, exact=None,
+                    smoother=None):
+    params = load_params()
+    params["problem"]["type"] = "Stokes"
+    if exact:
+        params["problem"]["exact solution"] = dict(exact)
+    params["grid"]["filename"] = f"Rectangle_{n}X{n}_nPoly{p}.xyz"
+    params["grid"]["polynomial degree"] = p
+    params["solution"]["u"]["polynomial degree"] = pu
+    params["solution"]["p"]["polynomial degree"] = pp
+    params["solution"]["ordering"] = ordering
+    params["visualization"]["export"] = False
+    params["visualization"]["automatically open paraview"] = False
+    params["logging"]["loglevel"] = "ERROR"
+    s = Settings(params)
+    s.solver.method = method
+    if smoother:
+        s.update_setting("solver.smoother", smoother)
+    s.update_setting("solver.discretization", "dg")
+    return s
+
+
+def test_polynomial_exactness_local():
+    """Representable (u,v,p) reproduced to roundoff — consistency of all terms."""
+    dg = DGFEM(settings=stokes_settings("direct", exact=POLY), solve_direct=True)
+    dg.solve()
+    assert dg.L2_error_u < 1e-11
+    assert dg.L2_error_v < 1e-11
+    assert dg.L2_error_p < 1e-10
+
+
+def test_global_equals_local_ordering():
+    dg_l = DGFEM(settings=stokes_settings("direct", "local"), solve_direct=True)
+    dg_l.solve()
+    dg_g = DGFEM(settings=stokes_settings("direct", "global"), solve_direct=True)
+    dg_g.solve()
+    assert np.isclose(dg_l.L2_error_u, dg_g.L2_error_u, rtol=1e-9)
+    assert np.isclose(dg_l.L2_error_p, dg_g.L2_error_p, rtol=1e-7)
+
+
+def test_global_operator_dense_equals_matvec():
+    import jax.numpy as jnp
+    s = stokes_settings("direct", "global", n=2)
+    dg = DGFEM(settings=s, solve_direct=True)
+    op = dg.levels[-1].op
+    A = np.asarray(op.to_dense())
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(A.shape[1])
+    assert np.abs(np.asarray(op.matvec(jnp.asarray(x))) - A @ x).max() < 1e-11
+
+
+def test_velocity_h_convergence():
+    errs = []
+    for n in (2, 4):
+        dg = DGFEM(settings=stokes_settings("direct", n=n), solve_direct=True)
+        dg.solve()
+        errs.append(dg.L2_error_u)
+    assert np.log2(errs[0] / errs[1]) > 2.4, errs
+
+
+def test_distributive_gs_converges():
+    dg = DGFEM(settings=stokes_settings("smoother", "global",
+                                        smoother="distributive_gauss_seidel"),
+               solve_smoother=True)
+    dg.solve()
+    assert dg.residuals[-1] < 1e-6
+    # solution matches the direct solve
+    dg_d = DGFEM(settings=stokes_settings("direct", "global"), solve_direct=True)
+    dg_d.solve()
+    assert np.isclose(dg.L2_error_u, dg_d.L2_error_u, rtol=1e-3)
+
+
+def test_distributive_gs_classical_exact_splitting():
+    from dgtpu.models.stokes import distributive_gauss_seidel_solve
+    s = stokes_settings("smoother", "global")
+    dg = DGFEM(settings=s, solve_smoother=True, smoother="distributive_gauss_seidel")
+    lvl = dg.levels[-1]
+    u, hist, n, status = distributive_gauss_seidel_solve(
+        lvl, lvl.rhs, splitting="classical_exact", max_iterations=3000)
+    assert int(status) == 0, np.asarray(hist)[:10]
+
+
+def test_distributive_gs_classical_diverges_as_documented():
+    """The reference documents that the 'classical' splitting (block-diagonal
+    Ainv in the Schur complement) does not converge (relaxation.py:286);
+    verify we reproduce a divergence status instead of exit()."""
+    from dgtpu.models.stokes import distributive_gauss_seidel_solve
+    s = stokes_settings("smoother", "global")
+    dg = DGFEM(settings=s, solve_smoother=True, smoother="distributive_gauss_seidel")
+    lvl = dg.levels[-1]
+    _, _, _, status = distributive_gauss_seidel_solve(
+        lvl, lvl.rhs, splitting="classical", max_iterations=500)
+    assert int(status) == 2
+
+
+def test_stokes_krylov_matches_direct():
+    dg_k = DGFEM(settings=stokes_settings("krylov", "global"), solve_krylov=True)
+    dg_k.solve()
+    dg_d = DGFEM(settings=stokes_settings("direct", "global"), solve_direct=True)
+    dg_d.solve()
+    assert np.isclose(dg_k.L2_error_u, dg_d.L2_error_u, rtol=1e-4)
+    assert np.isclose(dg_k.L2_error_p, dg_d.L2_error_p, rtol=1e-3)
+
+
+def test_epsilon_vanishes_for_divergence_free():
+    dg = DGFEM(settings=stokes_settings("direct"), solve_direct=True)
+    assert abs(dg.levels[-1].Epsilon) < 1e-10
+
+
+def test_pressure_mean_shift():
+    """After the shift the numerical pressure mean is ~0 (dgfem.py:170-186)."""
+    import jax.numpy as jnp
+    from dgtpu.models.stokes import pressure_integral
+    dg = DGFEM(settings=stokes_settings("direct"), solve_direct=True)
+    u_modal = dg.solve()
+    lvl = dg.levels[-1]
+    u_el = np.asarray(u_modal).reshape(lvl.N, lvl.N_DOF_sol_tot)
+    # postprocess already shifted inside solve; recompute mean of shifted field
+    from dgtpu.models.stokes import pressure_mean_shift
+    u_el2 = np.asarray(pressure_mean_shift(lvl, jnp.asarray(u_el)))
+    p_int = np.asarray(pressure_integral(lvl, jnp.asarray(u_el2[:, -lvl.N_DOF_sol["p"]:])))
+    mean = p_int.sum() / float(np.asarray(lvl.gt["A"]).sum())
+    assert abs(mean) < 1e-10
+
+
+def test_reorderings_roundtrip():
+    from dgtpu.models.stokes import (reorder_global_to_local,
+                                     reorder_local_to_global)
+    import jax.numpy as jnp
+    s = stokes_settings("direct", "global", n=2)
+    dg = DGFEM(settings=s, solve_direct=True)
+    lvl = dg.levels[-1]
+    rng = np.random.default_rng(1)
+    v = jnp.asarray(rng.standard_normal(lvl.N * lvl.N_DOF_sol_tot))
+    assert np.allclose(np.asarray(reorder_global_to_local(
+        lvl, reorder_local_to_global(lvl, v))), np.asarray(v))
+
+
+def test_amplification_analysis():
+    import os
+    from dgtpu.geometry import Geometry
+    from dgtpu.level import GridLevel
+    from dgtpu.mms import ManufacturedSolution
+    from dgtpu.models.poisson import assemble_poisson
+    from dgtpu.solvers.amplification import calculate_amplification
+    from tests.conftest import INPUT_DIR
+    s = stokes_settings("direct")
+    s.update_setting("problem.type", "Poisson")
+    geom = Geometry(os.path.join(INPUT_DIR, "Rectangle_4X4_nPoly2.xyz"), s)
+    lvl = GridLevel(geom, s, ["u"], {"u": 2})
+    mms = ManufacturedSolution({"u": "sin(pi*x)*sin(pi*y)"}, "Poisson", 1.0)
+    lvl.op, lvl.rhs, _ = assemble_poisson(lvl, mms)
+    out = calculate_amplification(lvl, "/tmp/amp_test", n_theta=11, export=False)
+    for q in range(1, 5):
+        A = out[f"A{q}"]
+        assert A.max() <= 1.05  # GS is a contraction on the SIP operator
+        assert A.min() >= 0.0
+
+
+def test_amg_poisson():
+    from dgtpu.solvers.amg import solve_amg
+    s = stokes_settings("direct")
+    s.update_setting("problem.type", "Poisson")
+    dg = DGFEM(settings=s, solve_direct=True)
+    lvl = dg.levels[-1]
+    u, info = solve_amg(lvl.op, lvl.rhs)
+    assert info["residuals"][-1] < 1e-3  # history is pre-cycle residual
+    r = np.asarray(lvl.rhs) - np.asarray(lvl.op.matvec(u))
+    assert np.linalg.norm(r) / np.linalg.norm(np.asarray(lvl.rhs)) < 1e-6
