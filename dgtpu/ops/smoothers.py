@@ -35,7 +35,9 @@ import jax.numpy as jnp
 
 
 def block_diag_inv(op):
-    return jnp.linalg.inv(op.diag_blocks())
+    # setup-time inversion on host LAPACK (TPU XLA has no f64 LU; see ops.linalg)
+    from dgtpu.ops.linalg import host_inv
+    return host_inv(op.diag_blocks())
 
 
 def block_jacobi(op, rhs, u, omega=1.0, iterations=1, Dinv=None):

@@ -14,6 +14,10 @@ from dgtpu.ops.stencil import as_dense_operator
 
 def solve_direct(op, rhs):
     A = as_dense_operator(op).A
+    if A.dtype == jnp.float64:
+        # host LAPACK: TPU XLA implements LU only for f32/c64 (see ops.linalg)
+        import numpy as np
+        return jnp.asarray(np.linalg.solve(np.asarray(A), np.asarray(rhs)))
     return jnp.linalg.solve(A, rhs)
 
 

@@ -1,0 +1,95 @@
+"""BASELINE config 4 (curvilinear O-grid multigrid) and the FVM paths."""
+
+import os
+
+import numpy as np
+import pytest
+
+from dgtpu.api import DGFEM
+from dgtpu.settings import Settings, load_params
+from tests.conftest import INPUT_DIR
+
+CIRCLE = os.path.join(INPUT_DIR, "CircleInCircle_8X8_nPoly5.xyz")
+
+
+def circle_settings(method, mult=2.0, grid="CircleInCircle_8X8_nPoly5.xyz",
+                    p_grid=5, p_sol=5):
+    params = load_params()
+    params["grid"]["filename"] = grid
+    params["grid"]["polynomial degree"] = p_grid
+    params["grid"]["O grid"] = True
+    params["grid"]["circular"] = True
+    params["solution"]["u"]["polynomial degree"] = p_sol
+    # the reference warns multipliers < 2 are unstable on curved grids
+    # (dgfem.py:280-282); with 1.0 the SIP operator is indefinite here.
+    params["problem"]["SIP penalty parameter multiplier"] = mult
+    params["visualization"]["export"] = False
+    params["visualization"]["automatically open paraview"] = False
+    params["logging"]["loglevel"] = "ERROR"
+    s = Settings(params)
+    s.solver.method = method
+    s.update_setting("solver.discretization", "dg")
+    return s
+
+
+@pytest.mark.skipif(not os.path.exists(CIRCLE), reason="circle grid missing")
+def test_circle_direct_accuracy():
+    dg = DGFEM(settings=circle_settings("direct"), solve_direct=True)
+    dg.solve()
+    assert dg.L2_error_u < 5e-3
+    assert dg.residual < 1e-10
+
+
+@pytest.mark.skipif(not os.path.exists(CIRCLE), reason="circle grid missing")
+def test_circle_multigrid_converges():
+    """Benchmark config 4: curvilinear O-grid Poisson multigrid."""
+    dg = DGFEM(settings=circle_settings("multigrid"), solve_multigrid=True)
+    dg.solve()
+    assert dg.residuals[-1] < 1e-6
+    assert dg.L2_error_u < 5e-3
+
+
+@pytest.mark.skipif(not os.path.exists(CIRCLE), reason="circle grid missing")
+def test_circle_indefinite_at_low_penalty():
+    """Reproduces the reference's documented instability (sigma multiplier 1
+    on curved grids): the operator is not positive definite."""
+    s = circle_settings("direct", mult=1.0)
+    s.update_setting("problem.multiply_inverse_mass_matrix", False)
+    dg = DGFEM(settings=s, solve_direct=True)
+    A = np.asarray(dg.levels[-1].op.to_dense())
+    eigs = np.linalg.eigvalsh((A + A.T) / 2)
+    assert eigs.min() < 0
+
+
+def test_fvm_standalone_solve():
+    params = load_params()
+    params["grid"]["filename"] = "Rectangle_8X8_nPoly2.xyz"
+    params["grid"]["polynomial degree"] = 2
+    params["visualization"]["export"] = False
+    params["visualization"]["automatically open paraview"] = False
+    params["logging"]["loglevel"] = "ERROR"
+    s = Settings(params)
+    s.solver.method = "finite_volume_method"
+    s.update_setting("solver.discretization", "fvm")
+    dg = DGFEM(settings=s, solve_finite_volume_method=True)
+    dg.solve()
+    assert dg.L2_error_u < 0.2
+
+
+def test_fvm_h_convergence():
+    """Cell-centered FVM is 2nd order on the cell averages."""
+    errs = []
+    for n in (4, 8):
+        params = load_params()
+        params["grid"]["filename"] = f"Rectangle_{n}X{n}_nPoly2.xyz"
+        params["grid"]["polynomial degree"] = 2
+        params["visualization"]["export"] = False
+        params["visualization"]["automatically open paraview"] = False
+        params["logging"]["loglevel"] = "ERROR"
+        s = Settings(params)
+        s.solver.method = "finite_volume_method"
+        s.update_setting("solver.discretization", "fvm")
+        dg = DGFEM(settings=s, solve_finite_volume_method=True)
+        dg.solve()
+        errs.append(dg.L2_error_u)
+    assert np.log2(errs[0] / errs[1]) > 1.5, errs
