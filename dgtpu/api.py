@@ -214,6 +214,7 @@ class DGFEM:
 
     def _assemble_all(self):
         from dgtpu.models.poisson import assemble_poisson
+        from dgtpu.utils.caching import load_operator, save_operator
         problem = self.settings.problem.type
         finest = self.levels[-1]
         for lvl in self.levels:
@@ -223,14 +224,29 @@ class DGFEM:
                     from dgtpu.models.fvm import assemble_poisson_fvm
                     lvl.op, lvl.rhs = assemble_poisson_fvm(lvl, self.mms)
                 else:
-                    lvl.op, lvl.rhs, lvl.inv_mass = assemble_poisson(
-                        lvl, self.mms if need_rhs else None)
+                    cached = load_operator(lvl, problem) if need_rhs else None
+                    if cached is not None and cached[1] is not None:
+                        lvl.op, lvl.rhs, lvl.inv_mass = cached
+                        self.logger.debug("loaded assembled system from cache")
+                    else:
+                        lvl.op, lvl.rhs, lvl.inv_mass = assemble_poisson(
+                            lvl, self.mms if need_rhs else None)
+                        if need_rhs:
+                            save_operator(lvl, problem, lvl.op, lvl.rhs,
+                                          lvl.inv_mass)
             elif problem == "Stokes":
                 from dgtpu.models.stokes import assemble_stokes
                 assemble_stokes(lvl, self.mms if need_rhs else None,
                                 direct=(self.settings.solver.method == "direct"))
             else:
                 raise NotImplementedError(problem)
+        self._run_diagnostics(finest)
+
+    def _run_diagnostics(self, level):
+        """Opt-in diagnostic flags (reference discrete_system.py:130-186,
+        :753-810; dgfem.py:129-149)."""
+        from dgtpu.diagnostics import run_diagnostics
+        run_diagnostics(self, level)
 
     # ------------------------------------------------------------------ solve
 

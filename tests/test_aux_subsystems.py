@@ -1,0 +1,129 @@
+"""Caching, diagnostics, visualization, VTK export, logging/timer."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from dgtpu.api import DGFEM
+from dgtpu.settings import Settings, load_params
+from tests.conftest import REPO
+
+
+def make_settings(**over):
+    params = load_params()
+    params["grid"]["filename"] = "Rectangle_4X4_nPoly1.xyz"
+    params["grid"]["polynomial degree"] = 1
+    params["solution"]["u"]["polynomial degree"] = 2
+    params["visualization"]["export"] = False
+    params["visualization"]["automatically open paraview"] = False
+    params["logging"]["loglevel"] = "ERROR"
+    for k, v in over.items():
+        node = params
+        *path, leaf = k.split(".")
+        for kk in path:
+            node = node[kk]
+        node[leaf] = v
+    s = Settings(params)
+    s.solver.method = "direct"
+    s.update_setting("solver.discretization", "dg")
+    return s
+
+
+def test_operator_cache_roundtrip(tmp_path):
+    s = make_settings(**{"caching.enabled": True})
+    dg1 = DGFEM(settings=s, solve_direct=True)
+    u1 = dg1.solve()
+    # second construction loads from cache and gives identical results
+    s2 = make_settings(**{"caching.enabled": True})
+    dg2 = DGFEM(settings=s2, solve_direct=True)
+    u2 = dg2.solve()
+    assert np.allclose(np.asarray(u1), np.asarray(u2))
+    from dgtpu.utils.caching import cache_dir
+    assert any(f.endswith(".npz") for f in os.listdir(cache_dir()))
+
+
+def test_cache_invalidated_on_settings_change():
+    from dgtpu.utils.caching import load_operator
+    s = make_settings(**{"caching.enabled": True})
+    dg = DGFEM(settings=s, solve_direct=True)
+    lvl = dg.levels[-1]
+    assert load_operator(lvl, "Poisson") is not None
+    lvl.settings.update_setting("problem.kinematic_viscosity", 3.14)
+    assert load_operator(lvl, "Poisson") is None
+
+
+def test_diagnostics_flags():
+    s = make_settings(**{"problem.check eigenvalues": True,
+                         "problem.check condition number": True,
+                         "problem.check characteristics": True,
+                         "problem.check iteration matrix": True,
+                         "problem.multiply inverse mass matrix": False})
+    dg = DGFEM(settings=s, solve_direct=True)
+    d = dg.diagnostics
+    assert d["spd"] is True
+    assert d["cond"] > 1
+    assert 0 < d["rho_gs"] < 1  # GS converges on the SPD SIP operator
+    assert np.real(d["min_eig"]) > 0
+
+
+def test_vtk_export(tmp_path):
+    from dgtpu.io.vtk import write_vts
+    x, y = np.meshgrid(np.linspace(0, 1, 5), np.linspace(0, 2, 7), indexing="ij")
+    path = write_vts(os.path.join(tmp_path, "t.vts"), x, y,
+                     {"phi": x + y})
+    raw = open(path, "rb").read()
+    assert raw.startswith(b"<?xml")
+    assert b"StructuredGrid" in raw and b"AppendedData" in raw
+    # full pipeline export
+    s = make_settings(**{"visualization.export": True})
+    dg = DGFEM(settings=s, solve_direct=True)
+    dg.solve()
+    assert os.path.exists(dg.solution_visualization_filepath + ".vts")
+    assert os.path.exists(os.path.join(dg.results_dir, "grid.vts"))
+
+
+def test_summary_txt_schema():
+    s = make_settings()
+    dg = DGFEM(settings=s, solve_direct=True)
+    dg.solve()
+    text = open(dg.solution_summary_filepath).read()
+    for token in ("SIMULATION SUMMARY", "### grid=", "### P sol=",
+                  "Residual=", "L1 error=", "L2 error="):
+        assert token in text, token
+
+
+def test_visualization_plots(tmp_path):
+    from dgtpu import visualization as viz
+    if not viz.HAVE_MPL:
+        pytest.skip("matplotlib unavailable")
+    s = make_settings()
+    dg = DGFEM(settings=s, solve_direct=True)
+    p1 = viz.plot_sparsity_pattern(dg.levels[-1].op, outdir=str(tmp_path))
+    p2 = viz.plot_grid_convergence({1: [(2, 0.1), (4, 0.025)],
+                                    2: [(2, 0.01), (4, 0.00125)]},
+                                   outdir=str(tmp_path))
+    p3 = viz.plot_residual_history([np.geomspace(1, 1e-7, 10)],
+                                   outdir=str(tmp_path))
+    p4 = viz.plot_standard_element(3, outdir=str(tmp_path))
+    p5 = viz.plot_basis_1d(4, outdir=str(tmp_path))
+    for p in (p1, p2, p3, p4, p5):
+        assert p and os.path.getsize(p) > 1000
+
+
+def test_timer_and_logger():
+    import time
+    from dgtpu.utils.logger import Logger
+    from dgtpu.utils.timer import Timer
+    s = make_settings()
+    logger = Logger("test_mod", s).logger
+    t = Timer(logger)
+    with t:
+        time.sleep(0.01)
+    assert 0.005 < t.elapsed() < 1.0
+
+    @t.timeit
+    def f(x):
+        return x + 1
+    assert f(1) == 2
