@@ -39,40 +39,54 @@ def main():
     from dgtpu.ops.stencil import StencilOperator
     from dgtpu.solvers.multigrid import MultigridSolver
 
+    from dgtpu.utils.device import setup_scope
     dg = _flagship()
     dtype = jnp.float32 if args.dtype == "float32" else jnp.float64
+    target = jax.devices()[0]
 
-    # correctness gate in f64 on the same hierarchy
-    colors = [element_colors(l.Ni, l.Nj) for l in dg.levels]
-    mg64 = MultigridSolver([l.op for l in dg.levels], dg.transfers,
-                           dg.transfer_types, dg.settings, colors=colors)
-    rhs64 = dg.levels[-1].rhs
-    u64, res64, n64, _ = mg64.solve(rhs64)
-    assert float(res64) < 1e-6, f"correctness gate failed: {float(res64)}"
+    with setup_scope():
+        # correctness gate in f64 on the same hierarchy (host)
+        colors = [element_colors(l.Ni, l.Nj) for l in dg.levels]
+        mg64 = MultigridSolver([l.op for l in dg.levels], dg.transfers,
+                               dg.transfer_types, dg.settings, colors=colors)
+        rhs64 = dg.levels[-1].rhs
+        u64, res64, n64, _ = mg64.solve(rhs64)
+        assert float(res64) < 1e-6, f"correctness gate failed: {float(res64)}"
 
-    # fast-path operators
-    ops = [StencilOperator(l.op.blocks.astype(dtype), l.op.nbr, l.op.mask)
-           for l in dg.levels]
+        # fast-path operators (cast on host)
+        ops = [StencilOperator(l.op.blocks.astype(dtype), l.op.nbr, l.op.mask)
+               for l in dg.levels]
 
-    class _T:
-        pass
+        class _T:
+            pass
 
-    transfers = []
-    for t in dg.transfers:
-        t2 = _T()
-        t2.__class__ = t.__class__
-        t2.__dict__ = dict(t.__dict__)
-        t2.R = t.R.astype(dtype)
-        t2.P = t.P.astype(dtype)
-        transfers.append(t2)
+        transfers = []
+        for t in dg.transfers:
+            t2 = _T()
+            t2.__class__ = t.__class__
+            t2.__dict__ = dict(t.__dict__)
+            t2.R = t.R.astype(dtype)
+            t2.P = t.P.astype(dtype)
+            transfers.append(t2)
 
-    mg = MultigridSolver(ops, transfers, dg.transfer_types, dg.settings,
-                         colors=colors)
-    mg.Dinv = [d.astype(dtype) for d in mg.Dinv]
+        mg = MultigridSolver(ops, transfers, dg.transfer_types, dg.settings,
+                             colors=colors)
+        mg.Dinv = [d.astype(dtype) for d in mg.Dinv]
+        if mg.coarse_inv is not None:
+            mg.coarse_inv = mg.coarse_inv.astype(dtype)
+        rhs = rhs64.astype(dtype)
+
+    # move the hot-loop pytrees to the accelerator
+    mg.ops = ops = [jax.device_put(o, target) for o in ops]
+    for t in transfers:
+        t.R = jax.device_put(t.R, target)
+        t.P = jax.device_put(t.P, target)
+    mg.Dinv = [jax.device_put(d, target) for d in mg.Dinv]
     if mg.coarse_inv is not None:
-        mg.coarse_inv = mg.coarse_inv.astype(dtype)
+        mg.coarse_inv = jax.device_put(mg.coarse_inv, target)
+    mg.colors = [jax.device_put(c, target) for c in mg.colors]
     n_lev = len(ops)
-    rhs = rhs64.astype(dtype)
+    rhs = jax.device_put(rhs, target)
 
     @jax.jit
     def one_cycle(rhs, u):

@@ -94,7 +94,11 @@ class DGFEM:
         self.solution_summary_filepath = os.path.join(self.results_dir, "summary.txt")
 
         self.residuals = []
-        self.initialize()
+        # setup always on host CPU (see dgtpu.utils.device): eager assembly on
+        # a tunneled TPU would remote-compile every small op
+        from dgtpu.utils.device import setup_scope
+        with setup_scope():
+            self.initialize()
 
         if self.settings.visualization.export:
             grid_to_vtk(os.path.join(self.results_dir, "grid"),
@@ -255,6 +259,16 @@ class DGFEM:
         method = s.solver.method
         finest = self.levels[-1]
         self.logger.debug(f"Solving with {method} method ...")
+
+        # move operator pytrees to the accelerator; setup stayed on host CPU
+        from dgtpu.utils.device import (default_compute_device, put_transfer,
+                                        put_tree)
+        target = default_compute_device(s)
+        if target.platform != "cpu":
+            for lvl in self.levels:
+                lvl.op = put_tree(lvl.op, target)
+                lvl.rhs = put_tree(lvl.rhs, target)
+            self.transfers = [put_transfer(t, target) for t in self.transfers]
 
         with Timer() as t:
             if method == "direct":
