@@ -279,7 +279,7 @@ class DGFEM:
                 colors = [element_colors(l.Ni, l.Nj) for l in self.levels]
                 self.mg = MultigridSolver([l.op for l in self.levels],
                                           self.transfers, self.transfer_types,
-                                          s, colors=colors)
+                                          s, colors=colors, levels=self.levels)
                 u_modal, res, n, hist = self.mg.solve(finest.rhs)
                 u_modal = synchronize(u_modal)
                 self.residuals = [float(r) for r in np.asarray(hist)

@@ -162,6 +162,10 @@ class TransferOp:
 
     def restrict(self, residual):
         import jax.numpy as jnp
+        if self.kind == "penalty":
+            # identity transfer between penalty levels (dgfem.py:285-288);
+            # applied as a no-op so it also covers mixed-block Stokes vectors
+            return residual
         if self.cf_f > 1:
             rows = _gather_tiles(residual, self.Nj_t, self.Ni_t, self.cf_f, self.B_f)
         else:
@@ -173,6 +177,8 @@ class TransferOp:
 
     def prolong(self, u_coarse):
         import jax.numpy as jnp
+        if self.kind == "penalty":
+            return u_coarse
         if self.cf_c > 1:
             rows = _gather_tiles(u_coarse, self.Nj_t, self.Ni_t, self.cf_c, self.B_c)
         else:

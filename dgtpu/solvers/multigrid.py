@@ -46,7 +46,7 @@ class MultigridSolver:
     colors : list of element colorings per level (for the red-black fast path)
     """
 
-    def __init__(self, ops, transfers, types, settings, colors=None):
+    def __init__(self, ops, transfers, types, settings, colors=None, levels=None):
         assert len(ops) == len(transfers) + 1 == len(types) + 1
         self.ops = ops
         self.transfers = transfers
@@ -55,11 +55,21 @@ class MultigridSolver:
         self.strategy = getattr(getattr(settings, "performance", None),
                                 "smoother_parallelization", "sequential")
         self.colors = colors or [None] * len(ops)
-        self.Dinv = [block_diag_inv(op) for op in ops]
+        # distributive-GS smoother state per level (Stokes global order);
+        # built lazily when a level config names it
+        self._dgs = {}
+        self._levels = levels
+        self.Dinv = [block_diag_inv(op) if hasattr(op, "blocks") else None
+                     for op in ops]
         self.coarse_solver = settings.solver.multigrid.coarse_grid_solver
         if self.coarse_solver in ("direct", "amg"):
+            coarse = ops[0]
+            # a Stokes saddle operator needs its pressure pin to be invertible
+            if hasattr(coarse, "pin") and not coarse.pin:
+                from dataclasses import replace
+                coarse = replace(coarse, pin=True)
             # dense inverse cached at setup; applied as one matmul per visit
-            self.coarse_inv = host_lu_inverse(ops[0].to_dense())
+            self.coarse_inv = host_lu_inverse(coarse.to_dense())
         else:
             self.coarse_inv = None
         self._smoother_cfg = {}
@@ -67,11 +77,30 @@ class MultigridSolver:
             node = getattr(settings.solver.multigrid, f"{t}_coarsening")
             self._smoother_cfg[t] = (SmootherConfig.from_settings(node.pre_smoother),
                                      SmootherConfig.from_settings(node.post_smoother))
+        # distributive GS needs eager (host) setup: build the per-level
+        # smoother states before tracing the jitted cycle
+        uses_dgs = any(c.name == "distributive_gauss_seidel"
+                       for pair in self._smoother_cfg.values() for c in pair)
+        if uses_dgs:
+            if levels is None:
+                raise ValueError("distributive GS smoothing needs GridLevels")
+            from dgtpu.models.stokes import DistributiveGS
+            splitting = getattr(getattr(settings, "performance", None),
+                                "dgs_splitting", "classical_exact")
+            for k, lvl in enumerate(levels):
+                self._dgs[k] = DistributiveGS(lvl, splitting=splitting)
         self._solve_jit = None
 
     # -- one V-cycle (statically unrolled recursion) -------------------------
 
     def _smooth(self, cfg, k, rhs, u, iterations=None):
+        if cfg.name == "distributive_gauss_seidel":
+            # Stokes saddle smoother (the reference's configured choice for
+            # penalty-coarsening Stokes multigrid — which crashes there on a
+            # name-case AttributeError; working here)
+            for _ in range(int(iterations or cfg.iterations)):
+                u = self._dgs[k].sweep(rhs, u)
+            return u
         return apply_smoother(cfg.name, self.ops[k], rhs, u,
                               direction=cfg.direction, omega=cfg.omega,
                               iterations=iterations or cfg.iterations,

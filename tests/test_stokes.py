@@ -168,6 +168,38 @@ def test_amplification_analysis():
         assert A.min() >= 0.0
 
 
+def test_stokes_penalty_multigrid():
+    """Penalty-coarsening Stokes multigrid with the distributive GS smoother.
+
+    The reference configures this but crashes on a smoother-name case
+    mismatch and an incompatible transfer reshape (solver.py:143-166);
+    working here for moderate penalty multipliers."""
+    from dgtpu.settings import Settings, load_params
+    params = load_params()
+    params["problem"]["type"] = "Stokes"
+    params["grid"]["filename"] = "Rectangle_4X4_nPoly2.xyz"
+    params["grid"]["polynomial degree"] = 2
+    params["solution"]["u"]["polynomial degree"] = 2
+    params["solution"]["p"]["polynomial degree"] = 1
+    params["solution"]["ordering"] = "global"
+    params["problem"]["SIP penalty parameter multiplier"] = 2
+    params["solver"]["multigrid"]["penalty parameter coarsening"]["enabled"] = True
+    params["solver"]["multigrid"]["penalty parameter coarsening"]["multipliers"] = "2,1"
+    params["solver"]["multigrid"]["polynomial coarsening"]["enabled"] = False
+    params["solver"]["multigrid"]["geometric coarsening"]["enabled"] = False
+    params["solver"]["multigrid"]["coarse grid solver"] = "direct"
+    params["visualization"]["export"] = False
+    params["visualization"]["automatically open paraview"] = False
+    params["logging"]["loglevel"] = "ERROR"
+    s = Settings(params)
+    s.solver.method = "multigrid"
+    s.update_setting("solver.discretization", "dg")
+    dg = DGFEM(settings=s, solve_multigrid=True)
+    dg.solve()
+    assert dg.residuals[-1] < 1e-6
+    assert len(dg.residuals) - 1 <= 20
+
+
 def test_amg_poisson():
     from dgtpu.solvers.amg import solve_amg
     s = stokes_settings("direct")
