@@ -98,6 +98,34 @@ def main():
             return mg.v_cycle(n_lev, rhs, u)
         return jax.lax.fori_loop(0, n, body, u)
 
+    # fused single-kernel Pallas V-cycle (TPU only)
+    pallas_fn = None
+    if jax.default_backend() == "tpu" and args.dtype == "float32":
+        try:
+            from dgtpu.ops.pallas_vcycle import PallasVCycle
+            with setup_scope():
+                dims = [(l.Nj, l.Ni) for l in dg.levels]
+                pv = PallasVCycle([l.op for l in dg.levels], dg.transfers,
+                                  dg.transfer_types, dg.settings, dims,
+                                  dtype=dtype)
+            pv.blocks = [jax.device_put(b, target) for b in pv.blocks]
+            pv.Dinv = [jax.device_put(d, target) for d in pv.Dinv]
+            pv.colors = [jax.device_put(c, target) for c in pv.colors]
+            pv.R = [jax.device_put(r, target) for r in pv.R]
+            pv.P = [jax.device_put(p, target) for p in pv.P]
+            pv.coarse_inv = jax.device_put(pv.coarse_inv, target)
+            pallas_one = pv.build()
+
+            @jax.jit
+            def pallas_many(rhs, u, n):
+                def body(_, u):
+                    return pallas_one(rhs, u)
+                return jax.lax.fori_loop(0, n, body, u)
+            pallas_fn = (pallas_one, pallas_many)
+        except Exception as e:  # pragma: no cover - report and fall back
+            print(f"# pallas path unavailable: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
     u0 = jnp.zeros_like(rhs)
     # fast-path numerical sanity: residual drops like the f64 path early on
     u_check = jax.block_until_ready(many_cycles(rhs, u0, 5))
@@ -130,7 +158,31 @@ def main():
         "backend": jax.default_backend(),
         "f64_cycles_to_1e-6": int(n64),
         "residual_after_5_fast_cycles": r5,
+        "impl": "xla",
     }
+
+    if pallas_fn is not None:
+        pallas_one, pallas_many = pallas_fn
+        # numerical sanity of the fused kernel
+        up = u0
+        for _ in range(5):
+            up = pallas_one(rhs, up)
+        rp = float(jnp.linalg.norm(rhs - ops[-1].matvec(up))
+                   / jnp.linalg.norm(rhs))
+        if rp < 1e-2:
+            jax.block_until_ready(pallas_many(rhs, u0, args.reps))
+            t0 = time.perf_counter()
+            jax.block_until_ready(pallas_many(rhs, u0, args.reps))
+            t_pallas = (time.perf_counter() - t0) / args.reps * 1e3
+            result["pallas_fused_ms"] = round(t_pallas, 4)
+            result["pallas_residual_after_5"] = rp
+            if t_pallas < t_amortized:
+                result["value"] = round(t_pallas, 4)
+                result["vs_baseline"] = round(1.0 / t_pallas, 3)
+                result["impl"] = "pallas_fused"
+        else:
+            result["pallas_residual_after_5"] = rp
+
     print(json.dumps(result))
 
 

@@ -185,9 +185,14 @@ class DGFEM:
             if mg.geometric_coarsening.use_FVM:
                 fvm_level = GridLevel(self.geometry, s, self.vars, self.P_sol,
                                       self.sigma, discretization="fvm")
+                dg_above = self.levels[0]
+                import numpy as np
+                scale = (np.asarray(dg_above.gt["A"]) / 4.0
+                         if s.problem.multiply_inverse_mass_matrix else None)
                 self.levels[0:0] = [fvm_level]
                 self.transfers[0:0] = [make_transfer(
-                    "dg_to_fvm", p_fine=self.levels[1].P_sol["u"])]
+                    "dg_to_fvm", p_fine=self.levels[1].P_sol["u"],
+                    row_scale=scale)]
                 self.transfer_types[0:0] = ["geometric"]
 
             cfs = mg.geometric_coarsening.coarsening_factors

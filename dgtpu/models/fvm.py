@@ -84,6 +84,13 @@ def assemble_poisson_fvm(level, mms, bc_order=2):
         rhs = rhs - (1 - has) * a_bnd * u_b
 
     blocks = blocks.at[:, 0, 0, 0].set(diag)
-    op = StencilOperator(blocks, jnp.asarray(nbr, dtype=jnp.int32),
+    # The reference assembles the *negative* Laplacian stencil (diag = -sum a,
+    # discrete_system.py:275-318), i.e. a negative-definite system.  We negate
+    # globally: the standalone solution is identical, the operator becomes
+    # SPD (better smoother behavior), and — crucially — the sign convention
+    # matches the SPD DG levels so FVM works as a multigrid coarse level
+    # (the reference's use_FVM multigrid is sign-inconsistent and cannot
+    # converge; see SURVEY §7 hard parts).
+    op = StencilOperator(-blocks, jnp.asarray(nbr, dtype=jnp.int32),
                          jnp.asarray(mask))
-    return op, rhs
+    return op, -rhs

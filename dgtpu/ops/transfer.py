@@ -150,7 +150,8 @@ class TransferOp:
     (m = j*Ni + i, j slow).
     """
 
-    def __init__(self, kind, R, P, Ni_t=1, Nj_t=1, cf_f=1, cf_c=1, B_f=None, B_c=None):
+    def __init__(self, kind, R, P, Ni_t=1, Nj_t=1, cf_f=1, cf_c=1, B_f=None,
+                 B_c=None, row_scale=None):
         import jax.numpy as jnp
         self.kind = kind
         self.R = jnp.asarray(R)
@@ -159,6 +160,10 @@ class TransferOp:
         self.cf_f, self.cf_c = cf_f, cf_c
         self.B_f = B_f if B_f is not None else self.R.shape[1]
         self.B_c = B_c if B_c is not None else self.R.shape[0]
+        # per-coarse-row residual scaling (dg->fvm needs the cell Jacobian to
+        # convert the mass-premultiplied DG residual into the FVM integral
+        # form; the reference's unscaled transfer cannot converge)
+        self.row_scale = None if row_scale is None else jnp.asarray(row_scale)
 
     def restrict(self, residual):
         import jax.numpy as jnp
@@ -171,6 +176,8 @@ class TransferOp:
         else:
             rows = residual.reshape(-1, self.R.shape[1])
         out = jnp.einsum("ij,kj->ki", self.R, rows)
+        if self.row_scale is not None:
+            out = out * self.row_scale[:, None]
         if self.cf_c > 1:
             return _scatter_tiles(out, self.Nj_t, self.Ni_t, self.cf_c, self.B_c)
         return out.reshape(-1)
@@ -189,7 +196,8 @@ class TransferOp:
         return v.reshape(-1)
 
 
-def make_transfer(kind, p_fine=None, p_coarse=None, Ni_c=None, Nj_c=None, cf=2):
+def make_transfer(kind, p_fine=None, p_coarse=None, Ni_c=None, Nj_c=None, cf=2,
+                  row_scale=None):
     """Factory covering all reference transfer flavors.
 
     ``Ni_c, Nj_c``: the coarse level's element counts (tile grid for
@@ -213,7 +221,7 @@ def make_transfer(kind, p_fine=None, p_coarse=None, Ni_c=None, Nj_c=None, cf=2):
         # latent inconsistency; implemented correctly here, see SURVEY §7)
         R = dg_to_fvm_restriction(p_fine)
         P = dg_to_fvm_prolongation(p_fine)
-        return TransferOp("dg_to_fvm", R, P)
+        return TransferOp("dg_to_fvm", R, P, row_scale=row_scale)
     if kind == "geometric_fvm":
         # 4x4 fine cells -> 2x2 coarse cells per tile; Ni_c/Nj_c here are the
         # coarse CELL counts, the tile grid is half that

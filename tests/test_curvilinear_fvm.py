@@ -76,6 +76,33 @@ def test_fvm_standalone_solve():
     assert dg.L2_error_u < 0.2
 
 
+def test_use_fvm_multigrid_converges():
+    """Geometric coarsening with FVM coarse levels (use FVM: True).
+
+    The reference's version of this path is broken three ways (element-order
+    permutation in the transfer reshape, sign-inconsistent FVM operator,
+    unscaled residual restriction); fixed here — see models/fvm.py and
+    ops/transfer.py docstrings."""
+    params = load_params()
+    params["grid"]["filename"] = "Rectangle_8X8_nPoly1.xyz"
+    params["grid"]["polynomial degree"] = 1
+    params["solution"]["u"]["polynomial degree"] = 1
+    params["solver"]["multigrid"]["polynomial coarsening"]["enabled"] = False
+    params["solver"]["multigrid"]["geometric coarsening"]["enabled"] = True
+    params["solver"]["multigrid"]["geometric coarsening"]["use FVM"] = True
+    params["solver"]["multigrid"]["geometric coarsening"]["coarsening factors"] = 2
+    params["visualization"]["export"] = False
+    params["visualization"]["automatically open paraview"] = False
+    params["logging"]["loglevel"] = "ERROR"
+    s = Settings(params)
+    s.solver.method = "multigrid"
+    s.update_setting("solver.discretization", "dg")
+    dg = DGFEM(settings=s, solve_multigrid=True)
+    dg.solve()
+    assert dg.residuals[-1] < 1e-6
+    assert [l.discretization for l in dg.levels] == ["fvm", "fvm", "dg"]
+
+
 def test_fvm_h_convergence():
     """Cell-centered FVM is 2nd order on the cell averages."""
     errs = []
