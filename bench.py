@@ -162,13 +162,19 @@ def main():
     }
 
     if pallas_fn is not None:
-        pallas_one, pallas_many = pallas_fn
-        # numerical sanity of the fused kernel
-        up = u0
-        for _ in range(5):
-            up = pallas_one(rhs, up)
-        rp = float(jnp.linalg.norm(rhs - ops[-1].matvec(up))
-                   / jnp.linalg.norm(rhs))
+        try:
+            pallas_one, pallas_many = pallas_fn
+            # numerical sanity of the fused kernel
+            up = u0
+            for _ in range(5):
+                up = pallas_one(rhs, up)
+            rp = float(jnp.linalg.norm(rhs - ops[-1].matvec(up))
+                       / jnp.linalg.norm(rhs))
+        except Exception as e:
+            print(f"# pallas kernel failed: {type(e).__name__}", file=sys.stderr)
+            pallas_fn = None
+            rp = float("inf")
+    if pallas_fn is not None:
         if rp < 1e-2:
             jax.block_until_ready(pallas_many(rhs, u0, args.reps))
             t0 = time.perf_counter()

@@ -64,12 +64,14 @@ class PallasVCycle:
         if t.kind == "penalty":
             return r
         if t.kind == "polynomial":
-            return jnp.einsum("ab,jib->jia", R, r)
+            return jax.lax.dot_general(r, R, ((( 2,), (1,)), ((), ())),
+                                        preferred_element_type=r.dtype)
         if t.kind == "geometric":
             B = r.shape[-1]
             v = r.reshape(nj_c, 2, ni_c, 2, B).transpose(0, 2, 1, 3, 4)
             v = v.reshape(nj_c, ni_c, 4 * B)
-            return jnp.einsum("ab,jib->jia", R, v)
+            return jax.lax.dot_general(v, R, (((2,), (1,)), ((), ())),
+                                        preferred_element_type=v.dtype)
         raise NotImplementedError(t.kind)
 
     def _prolong(self, k, P, e):
@@ -78,9 +80,11 @@ class PallasVCycle:
         if t.kind == "penalty":
             return e
         if t.kind == "polynomial":
-            return jnp.einsum("ab,jib->jia", P, e)
+            return jax.lax.dot_general(e, P, (((2,), (1,)), ((), ())),
+                                        preferred_element_type=e.dtype)
         if t.kind == "geometric":
-            v = jnp.einsum("ab,jib->jia", P, e)   # (nj_c, ni_c, 4B)
+            v = jax.lax.dot_general(e, P, (((2,), (1,)), ((), ())),
+                                    preferred_element_type=e.dtype)   # (nj_c, ni_c, 4B)
             B = v.shape[-1] // 4
             v = v.reshape(nj_c, ni_c, 2, 2, B).transpose(0, 2, 1, 3, 4)
             return v.reshape(nj_c * 2, ni_c * 2, B)

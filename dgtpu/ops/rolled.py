@@ -16,6 +16,16 @@ version (which replaces the j-shifts with ppermute exchanges).
 import jax.numpy as jnp
 
 
+def bmv(blocks, u):
+    """Batched block matvec (..., a, b) x (..., b) -> (..., a).
+
+    Written as broadcast-multiply-reduce rather than dot_general: at these
+    block sizes the contraction is VPU-bound either way, and Mosaic (Pallas
+    TPU) does not lower multi-batch-dim tpu.matmul.
+    """
+    return jnp.sum(blocks * u[..., None, :], axis=-1)
+
+
 def to_rolled(op, Ni, Nj):
     """StencilOperator blocks -> (Nj, Ni, 5, B, B)."""
     n, s, br, bc = op.blocks.shape
@@ -43,20 +53,20 @@ def neighbor_fields(u):
 
 def matvec(blocks, u):
     u_iL, u_iR, u_jL, u_jR = neighbor_fields(u)
-    out = jnp.einsum("jiab,jib->jia", blocks[:, :, 0], u)
-    out += jnp.einsum("jiab,jib->jia", blocks[:, :, 1], u_iL)
-    out += jnp.einsum("jiab,jib->jia", blocks[:, :, 2], u_iR)
-    out += jnp.einsum("jiab,jib->jia", blocks[:, :, 3], u_jL)
-    out += jnp.einsum("jiab,jib->jia", blocks[:, :, 4], u_jR)
+    out = bmv(blocks[:, :, 0], u)
+    out += bmv(blocks[:, :, 1], u_iL)
+    out += bmv(blocks[:, :, 2], u_iR)
+    out += bmv(blocks[:, :, 3], u_jL)
+    out += bmv(blocks[:, :, 4], u_jR)
     return out
 
 
 def offdiag_matvec(blocks, u):
     u_iL, u_iR, u_jL, u_jR = neighbor_fields(u)
-    out = jnp.einsum("jiab,jib->jia", blocks[:, :, 1], u_iL)
-    out += jnp.einsum("jiab,jib->jia", blocks[:, :, 2], u_iR)
-    out += jnp.einsum("jiab,jib->jia", blocks[:, :, 3], u_jL)
-    out += jnp.einsum("jiab,jib->jia", blocks[:, :, 4], u_jR)
+    out = bmv(blocks[:, :, 1], u_iL)
+    out += bmv(blocks[:, :, 2], u_iR)
+    out += bmv(blocks[:, :, 3], u_jL)
+    out += bmv(blocks[:, :, 4], u_jR)
     return out
 
 
@@ -71,7 +81,7 @@ def rb_gs_sweeps(blocks, Dinv, rhs, u, colors, n_color_passes):
     for _ in range(n_color_passes):
         for c in (0, 1):
             off = offdiag_matvec(blocks, u)
-            unew = jnp.einsum("jiab,jib->jia", Dinv, rhs - off)
+            unew = bmv(Dinv, rhs - off)
             u = jnp.where((colors == c)[:, :, None], unew, u)
     return u
 
@@ -79,6 +89,6 @@ def rb_gs_sweeps(blocks, Dinv, rhs, u, colors, n_color_passes):
 def jacobi_sweeps(blocks, Dinv, rhs, u, n, omega=0.8):
     for _ in range(n):
         off = offdiag_matvec(blocks, u)
-        unew = jnp.einsum("jiab,jib->jia", Dinv, rhs - off)
+        unew = bmv(Dinv, rhs - off)
         u = omega * unew + (1 - omega) * u
     return u

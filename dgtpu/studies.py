@@ -1,0 +1,72 @@
+"""Convergence-study driver: h-/p-refinement sweeps with stored results.
+
+The reference generates its thesis convergence figures from per-run
+``summary.txt`` files collected by hand (visualization.py:403-584).  This
+module automates the sweep: run a solver configuration over a list of grids
+and polynomial degrees, collect L1/L2 errors and residuals, persist a JSON
+table, and render the log-log convergence plot with p+1 slope triangles.
+"""
+
+import json
+import os
+
+import numpy as np
+
+from dgtpu.api import DGFEM
+from dgtpu.settings import Settings, load_params
+
+
+def run_convergence_study(grid_sizes=(2, 4, 8), degrees=(1, 2, 3),
+                          p_grid=1, method="direct", problem="Poisson",
+                          exact=None, paramfile=None, outdir=None,
+                          silent=True):
+    """Returns {p: [(N, L2_error), ...]} and writes results/table/plot."""
+    results = {}
+    details = []
+    for p in degrees:
+        pts = []
+        for n in grid_sizes:
+            params = load_params(paramfile)
+            params["problem"]["type"] = problem
+            if exact:
+                params["problem"]["exact solution"] = dict(exact)
+            params["grid"]["filename"] = f"Rectangle_{n}X{n}_nPoly{p_grid}.xyz"
+            params["grid"]["polynomial degree"] = p_grid
+            params["solution"]["u"]["polynomial degree"] = p
+            if problem == "Stokes":
+                params["solution"]["p"]["polynomial degree"] = max(p - 1, 0)
+            params["visualization"]["export"] = False
+            params["visualization"]["automatically open paraview"] = False
+            params["logging"]["loglevel"] = "ERROR" if silent else "INFO"
+            s = Settings(params)
+            s.solver.method = method
+            s.update_setting("solver.discretization", "dg")
+            dg = DGFEM(settings=s, **{f"solve_{method}": True})
+            dg.solve()
+            pts.append((n, dg.L2_error_u))
+            row = {"p": p, "N": n, "L2_u": dg.L2_error_u,
+                   "L1_u": dg.L1_error_u, "residual": dg.residual}
+            if problem == "Stokes":
+                row.update({"L2_v": dg.L2_error_v, "L2_p": dg.L2_error_p})
+            details.append(row)
+        results[p] = pts
+
+    rates = {}
+    for p, pts in results.items():
+        errs = [e for _, e in sorted(pts)]
+        rates[p] = [float(np.log2(errs[i] / errs[i + 1]))
+                    for i in range(len(errs) - 1)]
+
+    if outdir is None:
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        outdir = os.path.join(repo, "postprocessing", "convergence")
+    os.makedirs(outdir, exist_ok=True)
+    with open(os.path.join(outdir, f"{problem}_convergence.json"), "w") as f:
+        json.dump({"details": details, "rates": rates}, f, indent=1)
+    try:
+        from dgtpu.visualization import plot_grid_convergence
+        plot_grid_convergence(results, outdir=outdir,
+                              name=f"{problem}_convergence")
+    except Exception:
+        pass
+    return results, rates
