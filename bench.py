@@ -108,12 +108,7 @@ def main():
                 pv = PallasVCycle([l.op for l in dg.levels], dg.transfers,
                                   dg.transfer_types, dg.settings, dims,
                                   dtype=dtype)
-            pv.blocks = [jax.device_put(b, target) for b in pv.blocks]
-            pv.Dinv = [jax.device_put(d, target) for d in pv.Dinv]
-            pv.colors = [jax.device_put(c, target) for c in pv.colors]
-            pv.R = [jax.device_put(r, target) for r in pv.R]
-            pv.P = [jax.device_put(p, target) for p in pv.P]
-            pv.coarse_inv = jax.device_put(pv.coarse_inv, target)
+            pv.to_device(target)
             pallas_one = pv.build()
 
             @jax.jit

@@ -3,16 +3,23 @@
 At the reference's scales every multigrid level fits comfortably in VMEM
 (flagship 8x8 p=5 Poisson: ~2 MB of f32 operator blocks across all levels),
 so the entire cycle — pre-smooths, residual, restriction, recursion, coarse
-dense solve, prolongation, post-smooths — compiles to a single kernel with
-zero HBM roundtrips and zero inter-op launch gaps.  This is the
-speed-of-light implementation of the BASELINE north-star metric; the XLA
-multi-op path (solvers/multigrid.py) remains the reference implementation.
+solve, prolongation, post-smooths — compiles to a single kernel with zero
+HBM roundtrips and zero inter-op launch gaps.  This is the speed-of-light
+implementation of the BASELINE north-star metric; the XLA multi-op path
+(solvers/multigrid.py) remains the reference implementation.
 
-Restrictions: p-/penalty-/geometric transfers (as in the flagship configs);
-red-black smoothing; float32 or float64 (f64 emulated on TPU).
+Mosaic (Pallas TPU) lowering constraints shape the code (established by
+kernel bisection on v5e):
+  * block matvecs: broadcast-multiply-reduce (no multi-batch tpu.matmul)
+  * color selects: precomputed float masks (no int compare + where)
+  * tile gather/scatter: leading-dim reshape splits/merges + static middle
+    indices (strided slices lower to unsupported >2D gathers; leading-dim
+    transposes do not lower)
+  * coarse dense solve: per-tile bmv accumulation over a 6D-blocked inverse
+    (full flattening collapses the lane dimension)
+
+Supports p-/penalty-/geometric transfers and red-black smoothing in f32/f64.
 """
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -23,16 +30,39 @@ from dgtpu.ops import rolled
 from dgtpu.ops.linalg import host_inv, host_lu_inverse
 
 
+def _tile_gather(r, nj_c, ni_c):
+    """(2nj_c, 2ni_c, B) -> (nj_c, ni_c, 4B) with (child_j, child_i, mode) cols."""
+    B = r.shape[-1]
+    v = r.reshape(nj_c, 2, ni_c, 2, B)
+    parts = [v[:, b, :, a, :] for b in (0, 1) for a in (0, 1)]
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _tile_scatter(v, nj_c, ni_c):
+    """Inverse of :func:`_tile_gather`."""
+    B = v.shape[-1] // 4
+    ch = [v[:, :, k * B:(k + 1) * B] for k in range(4)]   # (cj, ci) order
+    rows = []
+    for b in (0, 1):
+        c0 = ch[b * 2 + 0].reshape(nj_c, ni_c, 1, B)
+        c1 = ch[b * 2 + 1].reshape(nj_c, ni_c, 1, B)
+        rows.append(jnp.concatenate([c0, c1], axis=2).reshape(nj_c, 2 * ni_c, B))
+    r0 = rows[0].reshape(nj_c, 1, 2 * ni_c, B)
+    r1 = rows[1].reshape(nj_c, 1, 2 * ni_c, B)
+    return jnp.concatenate([r0, r1], axis=1).reshape(2 * nj_c, 2 * ni_c, B)
+
+
 class PallasVCycle:
     """Builds the fused kernel from an assembled hierarchy.
 
-    Parameters mirror MultigridSolver; smoothing is red-black with the
-    configured pre/post iteration counts per transfer type.
+    Parameters mirror MultigridSolver; ``dims``: [(Nj, Ni)] per level,
+    coarsest first.  The coarse level follows the configured
+    coarse_grid_solver: 'smoother' -> 10 red-black iterations,
+    'direct'/'amg' -> cached dense inverse applied as blocked accumulation.
     """
 
     def __init__(self, ops, transfers, types, settings, dims,
                  dtype=jnp.float32, interpret=False):
-        """``dims``: [(Nj, Ni)] per level, coarsest first."""
         self.settings = settings
         self.types = types
         self.transfers = transfers
@@ -43,8 +73,17 @@ class PallasVCycle:
         self.blocks = [rolled.to_rolled(op, self.dims[k][1], self.dims[k][0])
                        .astype(dtype) for k, op in enumerate(ops)]
         self.Dinv = [host_inv(b[:, :, 0]).astype(dtype) for b in self.blocks]
-        self.colors = [rolled.checkerboard(nj, ni) for nj, ni in self.dims]
-        self.coarse_inv = host_lu_inverse(ops[0].to_dense()).astype(dtype)
+        self.masks = [rolled.color_masks(nj, ni, dtype) for nj, ni in self.dims]
+        self.coarse_solver = settings.solver.multigrid.coarse_grid_solver
+        if self.coarse_solver in ("direct", "amg"):
+            nj0, ni0 = self.dims[0]
+            B0 = self.blocks[0].shape[-1]
+            inv = host_lu_inverse(ops[0].to_dense()).astype(dtype)
+            # (j, i, J, I, a, b) blocked layout for per-tile accumulation
+            self.coarse_inv6 = (inv.reshape(nj0, ni0, B0, nj0, ni0, B0)
+                                .transpose(0, 1, 3, 4, 2, 5))
+        else:
+            self.coarse_inv6 = None
         self._cfg = {}
         for t in set(types):
             node = getattr(settings.solver.multigrid, f"{t}_coarsening")
@@ -57,54 +96,51 @@ class PallasVCycle:
     # ---- value-level cycle (runs inside the kernel) -------------------------
 
     def _restrict(self, k, R, r):
-        """Transfer k sits between level k+1 (fine) and k (coarse); r is the
-        fine-level (Nj, Ni, B) residual field."""
         t = self.transfers[k]
         nj_c, ni_c = self.dims[k]
         if t.kind == "penalty":
             return r
-        if t.kind == "polynomial":
-            return jax.lax.dot_general(r, R, ((( 2,), (1,)), ((), ())),
-                                        preferred_element_type=r.dtype)
         if t.kind == "geometric":
-            B = r.shape[-1]
-            v = r.reshape(nj_c, 2, ni_c, 2, B).transpose(0, 2, 1, 3, 4)
-            v = v.reshape(nj_c, ni_c, 4 * B)
-            return jax.lax.dot_general(v, R, (((2,), (1,)), ((), ())),
-                                        preferred_element_type=v.dtype)
-        raise NotImplementedError(t.kind)
+            r = _tile_gather(r, nj_c, ni_c)
+        return jax.lax.dot_general(r, R, (((2,), (1,)), ((), ())),
+                                   preferred_element_type=r.dtype)
 
     def _prolong(self, k, P, e):
         t = self.transfers[k]
         nj_c, ni_c = self.dims[k]
         if t.kind == "penalty":
             return e
-        if t.kind == "polynomial":
-            return jax.lax.dot_general(e, P, (((2,), (1,)), ((), ())),
-                                        preferred_element_type=e.dtype)
+        v = jax.lax.dot_general(e, P, (((2,), (1,)), ((), ())),
+                                preferred_element_type=e.dtype)
         if t.kind == "geometric":
-            v = jax.lax.dot_general(e, P, (((2,), (1,)), ((), ())),
-                                    preferred_element_type=e.dtype)   # (nj_c, ni_c, 4B)
-            B = v.shape[-1] // 4
-            v = v.reshape(nj_c, ni_c, 2, 2, B).transpose(0, 2, 1, 3, 4)
-            return v.reshape(nj_c * 2, ni_c * 2, B)
-        raise NotImplementedError(t.kind)
+            v = _tile_scatter(v, nj_c, ni_c)
+        return v
+
+    def _coarse_solve(self, consts, rhs, u):
+        blocks, Dinv, masks, Rs, Ps, inv6 = consts
+        nj, ni = self.dims[0]
+        if inv6 is None:
+            # 10 iterations of the pre-smoother (solver.py:199-204 semantics)
+            return rolled.rb_gs_sweeps_masked(blocks[0], Dinv[0], rhs, u,
+                                              masks[0], 20)
+        acc = jnp.zeros_like(rhs)
+        for J in range(nj):
+            for I in range(ni):
+                acc = acc + rolled.bmv(inv6[:, :, J, I], rhs[J, I])
+        return acc
 
     def _cycle(self, k, consts, rhs, u):
-        blocks, Dinv, colors, Rs, Ps, coarse_inv = consts
+        blocks, Dinv, masks, Rs, Ps, inv6 = consts
         if k == 0:
-            nj, ni = self.dims[0]
-            B = rhs.shape[-1]
-            e = coarse_inv @ rhs.reshape(-1)
-            return e.reshape(nj, ni, B)
+            return self._coarse_solve(consts, rhs, u)
         pre, post = self._cfg[self.types[k - 1]]
-        b, d, c = blocks[k], Dinv[k], colors[k]
-        u = rolled.rb_gs_sweeps(b, d, rhs, u, c, 2 * pre)
+        b, d, m = blocks[k], Dinv[k], masks[k]
+        u = rolled.rb_gs_sweeps_masked(b, d, rhs, u, m, 2 * pre)
         r = rhs - rolled.matvec(b, u)
         r_c = self._restrict(k - 1, Rs[k - 1], r)
         e_c = self._cycle(k - 1, consts, r_c, jnp.zeros_like(r_c))
         u = u + self._prolong(k - 1, Ps[k - 1], e_c)
-        u = rolled.rb_gs_sweeps(b, d, rhs, u, c, 2 * post)
+        u = rolled.rb_gs_sweeps_masked(b, d, rhs, u, m, 2 * post)
         return u
 
     # ---- kernel construction -------------------------------------------------
@@ -112,21 +148,20 @@ class PallasVCycle:
     def build(self):
         n_lev = self.n_lev
         n_tr = n_lev - 1
-        # inputs: rhs, u, blocks x L, Dinv x L, colors x L, R x (L-1),
-        #         P x (L-1), coarse_inv
-        n_inputs = 2 + 3 * n_lev + 2 * n_tr + 1
+        has_inv = self.coarse_inv6 is not None
+        n_inputs = 2 + 3 * n_lev + 2 * n_tr + (1 if has_inv else 0)
 
         def kernel(*refs):
             rhs_ref, u_ref = refs[0], refs[1]
             off = 2
             blocks = [refs[off + k][:] for k in range(n_lev)]; off += n_lev
             Dinv = [refs[off + k][:] for k in range(n_lev)]; off += n_lev
-            colors = [refs[off + k][:] for k in range(n_lev)]; off += n_lev
+            masks = [refs[off + k][:] for k in range(n_lev)]; off += n_lev
             Rs = [refs[off + k][:] for k in range(n_tr)]; off += n_tr
             Ps = [refs[off + k][:] for k in range(n_tr)]; off += n_tr
-            coarse_inv = refs[off][:]
+            inv6 = refs[off][:] if has_inv else None
             out_ref = refs[-1]
-            consts = (blocks, Dinv, colors, Rs, Ps, coarse_inv)
+            consts = (blocks, Dinv, masks, Rs, Ps, inv6)
             out_ref[:] = self._cycle(n_lev - 1, consts, rhs_ref[:], u_ref[:])
 
         nj, ni = self.dims[-1]
@@ -142,8 +177,9 @@ class PallasVCycle:
             interpret=self.interpret,
         )
 
-        consts = (*self.blocks, *self.Dinv, *self.colors,
-                  *self.R, *self.P, self.coarse_inv)
+        consts = (*self.blocks, *self.Dinv, *self.masks, *self.R, *self.P)
+        if has_inv:
+            consts = (*consts, self.coarse_inv6)
 
         @jax.jit
         def one_cycle(rhs, u):
@@ -154,6 +190,14 @@ class PallasVCycle:
 
         self._fn = one_cycle
         return one_cycle
+
+    def to_device(self, device):
+        for name in ("blocks", "Dinv", "masks", "R", "P"):
+            setattr(self, name, [jax.device_put(x, device)
+                                 for x in getattr(self, name)])
+        if self.coarse_inv6 is not None:
+            self.coarse_inv6 = jax.device_put(self.coarse_inv6, device)
+        return self
 
     def __call__(self, rhs, u):
         if self._fn is None:

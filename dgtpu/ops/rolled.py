@@ -86,6 +86,25 @@ def rb_gs_sweeps(blocks, Dinv, rhs, u, colors, n_color_passes):
     return u
 
 
+def color_masks(Nj, Ni, dtype):
+    """Float checkerboard masks (2, Nj, Ni, 1) — the Mosaic-friendly color
+    select (integer compare + where does not lower in Pallas TPU)."""
+    import numpy as np
+    cb = np.asarray(checkerboard(Nj, Ni))
+    return jnp.asarray(np.stack([(cb == 0), (cb == 1)])
+                       .astype(np.dtype(dtype))[:, :, :, None])
+
+
+def rb_gs_sweeps_masked(blocks, Dinv, rhs, u, masks, n_color_passes):
+    """rb_gs_sweeps with precomputed float masks (Pallas-safe)."""
+    for _ in range(n_color_passes):
+        for c in (0, 1):
+            off = offdiag_matvec(blocks, u)
+            unew = bmv(Dinv, rhs - off)
+            u = masks[c] * unew + (1.0 - masks[c]) * u
+    return u
+
+
 def jacobi_sweeps(blocks, Dinv, rhs, u, n, omega=0.8):
     for _ in range(n):
         off = offdiag_matvec(blocks, u)

@@ -61,6 +61,39 @@ def test_circle_indefinite_at_low_penalty():
     assert eigs.min() < 0
 
 
+@pytest.mark.skipif(not os.path.exists(CIRCLE.replace("8X8_nPoly5", "4X4_nPoly2")),
+                    reason="circle grid missing")
+def test_stokes_on_annulus_direct():
+    """Stokes on the curvilinear O-grid (periodic-in-theta velocity coupling,
+    polar pressure mean, dgfem.py:378-392)."""
+    params = load_params()
+    params["problem"]["type"] = "Stokes"
+    params["problem"]["exact solution"] = {
+        # divergence-free rigid-ish rotation field, zero at both radii scaled
+        "u": "-y*(x**2 + y**2 - 1)",
+        "v": "x*(x**2 + y**2 - 1)",
+        "p": "x*y",
+        "tag": "swirl"}
+    params["grid"]["filename"] = "CircleInCircle_4X4_nPoly2.xyz"
+    params["grid"]["polynomial degree"] = 2
+    params["grid"]["O grid"] = True
+    params["grid"]["circular"] = True
+    params["problem"]["SIP penalty parameter multiplier"] = 2
+    params["solution"]["u"]["polynomial degree"] = 3
+    params["solution"]["p"]["polynomial degree"] = 2
+    params["visualization"]["export"] = False
+    params["visualization"]["automatically open paraview"] = False
+    params["logging"]["loglevel"] = "ERROR"
+    s = Settings(params)
+    s.solver.method = "direct"
+    s.update_setting("solver.discretization", "dg")
+    dg = DGFEM(settings=s, solve_direct=True)
+    dg.solve()
+    assert dg.residual < 1e-9
+    assert dg.L2_error_u < 0.05
+    assert dg.L2_error_p < 0.5
+
+
 def test_fvm_standalone_solve():
     params = load_params()
     params["grid"]["filename"] = "Rectangle_8X8_nPoly2.xyz"
