@@ -134,6 +134,24 @@ def main():
     jax.block_until_ready(many_cycles(rhs, u0, args.reps))
     t_amortized = (time.perf_counter() - t0) / args.reps * 1e3
 
+    # time-to-1e-10 via mixed-precision refinement (f64 defect, f32 cycles) —
+    # the BASELINE parity metric
+    from dgtpu.solvers.refinement import make_refined_solver
+    op64 = jax.device_put(dg.levels[-1].op, target)
+    rhs64 = jax.device_put(rhs64, target)
+    cyc32 = (lambda r, u: mg.v_cycle(n_lev, r, u)) if args.dtype == "float32" \
+        else None
+    t_refine = None
+    if cyc32 is not None:
+        refined = make_refined_solver(op64, cyc32, n_inner=6, tol=1e-10)
+        u_r, res_r, n_r, _ = jax.block_until_ready(
+            refined(rhs64, jnp.zeros_like(rhs64)))
+        t0 = time.perf_counter()
+        u_r, res_r, n_r, _ = jax.block_until_ready(
+            refined(rhs64, jnp.zeros_like(rhs64)))
+        t_refine = (time.perf_counter() - t0) * 1e3
+        assert float(res_r) < 1e-10, float(res_r)
+
     # dispatch-inclusive single-call latency
     jax.block_until_ready(one_cycle(rhs, u0))
     t0 = time.perf_counter()
@@ -155,6 +173,10 @@ def main():
         "residual_after_5_fast_cycles": r5,
         "impl": "xla",
     }
+    if t_refine is not None:
+        result["time_to_1e-10_ms"] = round(t_refine, 3)
+        result["refined_outer_iters"] = int(n_r)
+        result["refined_residual"] = float(res_r)
 
     if pallas_fn is not None:
         try:
