@@ -191,6 +191,26 @@ class PallasVCycle:
         self._fn = one_cycle
         return one_cycle
 
+    def build_xla(self):
+        """The same fused rolled-layout cycle as plain jitted XLA ops.
+
+        Useful as an apples-to-apples comparison point for the Pallas kernel
+        and as the fast path wherever Mosaic is unavailable.
+        """
+        nj, ni = self.dims[-1]
+        B = self.blocks[-1].shape[-1]
+        consts = (list(self.blocks), list(self.Dinv), list(self.masks),
+                  list(self.R), list(self.P), self.coarse_inv6)
+
+        @jax.jit
+        def one_cycle(rhs, u):
+            rhs = rhs.reshape(nj, ni, B).astype(self.dtype)
+            u = u.reshape(nj, ni, B).astype(self.dtype)
+            out = self._cycle(self.n_lev - 1, consts, rhs, u)
+            return out.reshape(-1)
+
+        return one_cycle
+
     def to_device(self, device):
         for name in ("blocks", "Dinv", "masks", "R", "P"):
             setattr(self, name, [jax.device_put(x, device)
