@@ -382,10 +382,16 @@ class DGFEM:
             from dgtpu.models.stokes import pressure_mean_shift
             u_el = pressure_mean_shift(finest, u_el)
 
-        # modal -> nodal (dgfem.py:201-209), batched
-        Vg_u = jnp.asarray(finest.quad.V_sol_grid["u"])
+        # modal -> nodal (dgfem.py:201-209), batched; per-element nodal tables
+        # when the physical-element orthonormal basis is active (element.py:43)
         nu_dof = finest.N_DOF_sol["u"]
-        u_nodal = u_el[:, :nu_dof] @ Vg_u.T
+        eb = getattr(finest, "element_basis", None)
+        if eb is not None:
+            Vg_e = eb.apply(finest.quad.V_sol_grid["u"])     # (N, G, B)
+            u_nodal = jnp.einsum("ngb,nb->ng", Vg_e, u_el[:, :nu_dof])
+        else:
+            Vg_u = jnp.asarray(finest.quad.V_sol_grid["u"])
+            u_nodal = u_el[:, :nu_dof] @ Vg_u.T
         X, Y = jnp.asarray(finest.X), jnp.asarray(finest.Y)
         u_exact = self.mms.u(X, Y)
         self.L1_error_u = float(lp_norm(u_nodal - u_exact, 1))

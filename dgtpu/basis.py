@@ -125,6 +125,44 @@ def grad_vandermonde_2d(n_modes, r, s):
     return Vr, Vs
 
 
+def legendre_to_lagrange_1d(p, r):
+    """Lagrange cardinal functions of the LGL(p) nodes evaluated at ``r``,
+    constructed through the Legendre modal basis (interpolation.py:183-187).
+
+    ``T[m, i] = l_i(r[m])``: applying T to nodal values interpolates to r.
+    (The reference's comment claims the columns are modes; they are nodes.)
+    """
+    r_lgl = legendre_gauss_lobatto(p + 1)
+    Vg = vandermonde_1d(p + 1, r_lgl)
+    leg = np.array([legendre_orthonormal(np.atleast_1d(r), k)
+                    for k in range(p + 1)])
+    return np.linalg.solve(Vg.T, leg).T
+
+
+def legendre_to_lagrange_2d(p, r):
+    """2D tensor variant along the diagonal line (r, r)
+    (interpolation.py:189-200)."""
+    r = np.atleast_1d(r)
+    r_lgl = legendre_gauss_lobatto(p + 1)
+    Vg = vandermonde_2d(p + 1, r_lgl, r_lgl)
+    n = p + 1
+    lag = np.zeros((n * n, len(r)))
+    m = 0
+    for i in range(n):
+        for j in range(n):
+            lag[m, :] = legendre_orthonormal(r, i) * legendre_orthonormal(r, j)
+            m += 1
+    return np.linalg.solve(Vg.T, lag).T
+
+
+def lebesgue_function(xi, x):
+    """Lebesgue function sum_i |l_i(x)| of the nodal set ``xi`` — the node-
+    quality diagnostic behind the reference's Lebesgue plots
+    (visualization.py:238-401)."""
+    L = lagrange_basis(x, xi)
+    return np.abs(L).sum(axis=1)
+
+
 def lagrange_basis(x, xi):
     """Values of the Lagrange cardinal functions on nodes ``xi`` at point(s) ``x``."""
     xi = np.asarray(xi, dtype=np.float64)

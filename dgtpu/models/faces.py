@@ -29,8 +29,9 @@ class FaceData:
     +grad r / +grad s, i.e. from L into R, as in element.py:96-102).
     """
 
-    def __init__(self, level, topo, var_quad, gt=None):
+    def __init__(self, level, topo, var_quad, gt=None, element_basis=None):
         gt = gt if gt is not None else level.gt
+        self.eb = element_basis
         g = gt[var_quad]
         sL, sR = topo.side_L, topo.side_R
         eL, eR = topo.eL, topo.eR
@@ -53,23 +54,39 @@ class FaceData:
         self._var_quad = var_quad
         self.wJ = self.w_q[None, :] * self.J       # (F, nq)
 
+    def _per_face(self, table, elem_idx, use_eb):
+        """Shared (nq, B) table -> per-face (F, nq, B), via the per-element
+        basis transform when active (face.py:43-59 semantics)."""
+        table = jnp.asarray(table)
+        if use_eb and self.eb is not None:
+            return self.eb.apply(table)[elem_idx]
+        F = len(elem_idx)
+        return jnp.broadcast_to(table[None], (F,) + table.shape)
+
     def trace(self, var_basis):
-        """(V_L, V_R) trace Vandermondes of a basis at this direction's faces."""
+        """(V_L, V_R) trace Vandermondes of a basis, each (F, nq, B)."""
         q = self._level.quad
         sL, sR = self.topo.side_L, self.topo.side_R
-        return (jnp.asarray(q.V_sol_face[sL][var_basis][self._var_quad]),
-                jnp.asarray(q.V_sol_face[sR][var_basis][self._var_quad]))
+        use_eb = var_basis == "u"
+        return (self._per_face(q.V_sol_face[sL][var_basis][self._var_quad],
+                               self.topo.eL, use_eb),
+                self._per_face(q.V_sol_face[sR][var_basis][self._var_quad],
+                               self.topo.eR, use_eb))
 
     def grad_normal(self, var_basis):
         """(Gn_L, Gn_R): n . grad(phi) traces, each (F, nq, B)."""
         q = self._level.quad
         sL, sR = self.topo.side_L, self.topo.side_R
+        use_eb = var_basis == "u"
         out = []
-        for side_key, mt in ((sL, self.mt_L), (sR, self.mt_R)):
-            Vr = jnp.asarray(q.Vr_sol_face[side_key][var_basis][self._var_quad])
-            Vs = jnp.asarray(q.Vs_sol_face[side_key][var_basis][self._var_quad])
-            gx = Vr[None] * mt["rx"][:, :, None] + Vs[None] * mt["sx"][:, :, None]
-            gy = Vr[None] * mt["ry"][:, :, None] + Vs[None] * mt["sy"][:, :, None]
+        for side_key, mt, idx in ((sL, self.mt_L, self.topo.eL),
+                                  (sR, self.mt_R, self.topo.eR)):
+            Vr = self._per_face(q.Vr_sol_face[side_key][var_basis][self._var_quad],
+                                idx, use_eb)
+            Vs = self._per_face(q.Vs_sol_face[side_key][var_basis][self._var_quad],
+                                idx, use_eb)
+            gx = Vr * mt["rx"][:, :, None] + Vs * mt["sx"][:, :, None]
+            gy = Vr * mt["ry"][:, :, None] + Vs * mt["sy"][:, :, None]
             out.append(gx * mt["nx"][:, :, None] + gy * mt["ny"][:, :, None])
         return out[0], out[1]
 
@@ -87,14 +104,14 @@ def sip_terms(fd, nu, sigma, var="u"):
 
     def contract_gn_v(Gn, V, coef):
         # (F,) coef * sum_q wJ[f,q] Gn[f,q,i] V[q,k] -> (F, k, i)
-        return jnp.einsum("f,fq,fqi,qk->fki", coef, wJ, Gn, V)
+        return jnp.einsum("f,fq,fqi,fqk->fki", coef, wJ, Gn, V)
 
     def contract_v_gn(V, Gn, coef):
         # coef * sum_q wJ V[q,i] Gn[f,q,k] -> (F, k, i)
-        return jnp.einsum("f,fq,qi,fqk->fki", coef, wJ, V, Gn)
+        return jnp.einsum("f,fq,fqi,fqk->fki", coef, wJ, V, Gn)
 
     def contract_v_v(Va, Vb, coef):
-        return jnp.einsum("f,fq,qi,qk->fki", coef, wJ, Va, Vb)
+        return jnp.einsum("f,fq,fqi,fqk->fki", coef, wJ, Va, Vb)
 
     # consistency flux: res_XY = t_X * nu * w_Y * <Gn_Y, V_X>,  t_L=-1, t_R=+1
     LL = contract_gn_v(Gn_L, V_L, -nu * fd.w_L)
@@ -131,7 +148,7 @@ def continuity_surface(fd_p, n_u_modes):
 
     def block(V_test_p, Vu_trial, n_trial, coef):
         # res[f, k, i] = coef_f * sum_q wJ Vu[q,i] n_a[f,q] Vp[q,k]
-        cols = [jnp.einsum("f,fq,qi,fq,qk->fki", coef, wJ, Vu_trial,
+        cols = [jnp.einsum("f,fq,fqi,fq,fqk->fki", coef, wJ, Vu_trial,
                            n_trial[a], V_test_p) for a in range(2)]
         return jnp.concatenate(cols, axis=2)
 
@@ -155,8 +172,8 @@ def continuity_dirichlet_rhs(fd_p, g_min, g_max):
     wJ = fd_p.wJ
     gn_min = g_min[0] * fd_p.mt_R["nx"] + g_min[1] * fd_p.mt_R["ny"]
     gn_max = g_max[0] * fd_p.mt_L["nx"] + g_max[1] * fd_p.mt_L["ny"]
-    rhs_min = -jnp.einsum("qi,fq,fq->fi", V_Rp, gn_min, wJ)
-    rhs_max = +jnp.einsum("qi,fq,fq->fi", V_Lp, gn_max, wJ)
+    rhs_min = -jnp.einsum("fqi,fq,fq->fi", V_Rp, gn_min, wJ)
+    rhs_max = +jnp.einsum("fqi,fq,fq->fi", V_Lp, gn_max, wJ)
     return rhs_min, rhs_max
 
 
@@ -173,7 +190,7 @@ def pressure_surface(fd_u, n_u_modes):
     n_R = (fd_u.mt_R["nx"], fd_u.mt_R["ny"])
 
     def block(V_test_u, Vp_trial, n_trial, coef):
-        rows = [jnp.einsum("f,fq,qi,fq,qk->fki", coef, wJ, Vp_trial,
+        rows = [jnp.einsum("f,fq,fqi,fq,fqk->fki", coef, wJ, Vp_trial,
                            n_trial[a], V_test_u) for a in range(2)]
         return jnp.concatenate(rows, axis=1)
 
@@ -191,7 +208,7 @@ def pressure_dirichlet_rhs(fd_u, gp_min, gp_max):
     wJ = fd_u.wJ
 
     def rhs(V, gp, n, sign):
-        parts = [sign * jnp.einsum("qi,fq->fi", V, gp * wJ * n[a]) for a in range(2)]
+        parts = [sign * jnp.einsum("fqi,fq->fi", V, gp * wJ * n[a]) for a in range(2)]
         return jnp.concatenate(parts, axis=1)
 
     rhs_min = rhs(V_Ru, gp_min, (fd_u.mt_R["nx"], fd_u.mt_R["ny"]), -1.0)
@@ -214,7 +231,7 @@ def velocity_penalty_surface(fd_u, gamma):
         # res[f, k + b*Nu, i + a*Nu] = coef * sum_q wJ V_trial[q,i] n_a n_b V_test[q,k]
         rows = []
         for b in range(2):
-            cols = [jnp.einsum("f,fq,qi,fq,qk->fki", coef, wJ, V_trial,
+            cols = [jnp.einsum("f,fq,fqi,fq,fqk->fki", coef, wJ, V_trial,
                                n_trial[a] * n_trial[b], V_test) for a in range(2)]
             rows.append(jnp.concatenate(cols, axis=2))
         return jnp.concatenate(rows, axis=1)
@@ -236,7 +253,7 @@ def velocity_penalty_dirichlet_rhs(fd_u, gamma, g_min, g_max):
 
     def rhs(V, g, n, h):
         gn = (g[0] * n[0] + g[1] * n[1]) * wJ
-        parts = [gamma / h[:, None] * jnp.einsum("qi,fq->fi", V, gn * n[a])
+        parts = [gamma / h[:, None] * jnp.einsum("fqi,fq->fi", V, gn * n[a])
                  for a in range(2)]
         return jnp.concatenate(parts, axis=1)
 
@@ -257,8 +274,8 @@ def sip_dirichlet_rhs(fd, nu, sigma, g_min, g_max, var="u"):
     V_L, V_R = fd.trace(var)
     Gn_L, Gn_R = fd.grad_normal(var)
     pen = sigma * nu / fd.h_F
-    rhs_min = jnp.einsum("f,qi,fq,fq->fi", pen, V_R, g_min, fd.wJ)
+    rhs_min = jnp.einsum("f,fqi,fq,fq->fi", pen, V_R, g_min, fd.wJ)
     rhs_min += nu * jnp.einsum("fqi,fq,fq->fi", Gn_R, g_min, fd.wJ)
-    rhs_max = jnp.einsum("f,qi,fq,fq->fi", pen, V_L, g_max, fd.wJ)
+    rhs_max = jnp.einsum("f,fqi,fq,fq->fi", pen, V_L, g_max, fd.wJ)
     rhs_max -= nu * jnp.einsum("fqi,fq,fq->fi", Gn_L, g_max, fd.wJ)
     return rhs_min, rhs_max

@@ -12,6 +12,16 @@ from dgtpu.ops.linalg import host_inv
 from dgtpu.ops.stencil import StencilOperator, stencil_from_contributions
 
 
+def _vol_table(level, table, var):
+    """Shared (nq, B) volume table -> (N, nq, B), per-element when the
+    physical-element orthonormal basis is active (element.py:33-50)."""
+    table = jnp.asarray(table)
+    eb = getattr(level, "element_basis", None)
+    if eb is not None and var == "u":
+        return eb.apply(table)
+    return jnp.broadcast_to(table[None], (level.N,) + table.shape)
+
+
 def volume_laplace(level, var="u", gt=None):
     """nu * int grad(phi_i) . grad(phi_k) per element -> (N, B, B).
 
@@ -20,10 +30,10 @@ def volume_laplace(level, var="u", gt=None):
     gt = gt if gt is not None else level.gt
     q = level.quad
     g = gt[var]["e"]
-    Vr = jnp.asarray(q.Vr_sol_int[var][var])
-    Vs = jnp.asarray(q.Vs_sol_int[var][var])
-    Gx = Vr[None] * g["rx"][:, :, None] + Vs[None] * g["sx"][:, :, None]  # (N, nq2, B)
-    Gy = Vr[None] * g["ry"][:, :, None] + Vs[None] * g["sy"][:, :, None]
+    Vr = _vol_table(level, q.Vr_sol_int[var][var], var)
+    Vs = _vol_table(level, q.Vs_sol_int[var][var], var)
+    Gx = Vr * g["rx"][:, :, None] + Vs * g["sx"][:, :, None]  # (N, nq2, B)
+    Gy = Vr * g["ry"][:, :, None] + Vs * g["sy"][:, :, None]
     wJ = g["J"] * jnp.asarray(q.w_int_2d[var])[None, :]
     nu = level.settings.problem.kinematic_viscosity
     return nu * (jnp.einsum("nqk,nq,nqi->nki", Gx, wJ, Gx)
@@ -34,18 +44,18 @@ def mass_matrices(level, var="u", gt=None):
     """Per-element mass matrices V^T diag(w J) V (element.py:132-133)."""
     gt = gt if gt is not None else level.gt
     q = level.quad
-    V = jnp.asarray(q.V_sol_int[var][var])
+    V = _vol_table(level, q.V_sol_int[var][var], var)
     wJ = gt[var]["e"]["J"] * jnp.asarray(q.w_int_2d[var])[None, :]
-    return jnp.einsum("qi,nq,qk->nik", V, wJ, V)
+    return jnp.einsum("nqi,nq,nqk->nik", V, wJ, V)
 
 
 def source_volume_rhs(level, f_vals, var="u", gt=None):
     """int f phi_i per element: (N, B).  Reference: element.py:161-167."""
     gt = gt if gt is not None else level.gt
     q = level.quad
-    V = jnp.asarray(q.V_sol_int[var][var])
+    V = _vol_table(level, q.V_sol_int[var][var], var)
     wJ = gt[var]["e"]["J"] * jnp.asarray(q.w_int_2d[var])[None, :]
-    return jnp.einsum("qi,nq,nq->ni", V, wJ, f_vals)
+    return jnp.einsum("nqi,nq,nq->ni", V, wJ, f_vals)
 
 
 def assemble_poisson(level, mms=None, gt=None):
@@ -59,10 +69,17 @@ def assemble_poisson(level, mms=None, gt=None):
     nu = settings.problem.kinematic_viscosity
     gt = gt if gt is not None else level.gt
 
+    level.element_basis = None
+    if getattr(settings.problem, "orthonormal_on_physical_element", False):
+        from dgtpu.ops.orthonormal import ElementBasis
+        level.element_basis = ElementBasis(level, gt=gt)
+
     vol = volume_laplace(level, gt=gt)
 
-    fd_i = FaceData(level, level.faces_i, "u", gt=gt)
-    fd_j = FaceData(level, level.faces_j, "u", gt=gt)
+    fd_i = FaceData(level, level.faces_i, "u", gt=gt,
+                    element_basis=level.element_basis)
+    fd_j = FaceData(level, level.faces_j, "u", gt=gt,
+                    element_basis=level.element_basis)
     LL_i, LR_i, RL_i, RR_i = sip_terms(fd_i, nu, level.sigma)
     LL_j, LR_j, RL_j, RR_j = sip_terms(fd_j, nu, level.sigma)
 

@@ -143,6 +143,47 @@ def plot_standard_element(p_grid, outdir="postprocessing/plots"):
     return path
 
 
+def plot_lebesgue(p, outdir="postprocessing/plots"):
+    """Lebesgue functions of LGL vs equidistant nodes (visualization.py:238-401)."""
+    if not HAVE_MPL:
+        return None
+    from dgtpu.basis import lebesgue_function, legendre_gauss_lobatto
+    x = np.linspace(-1, 1, 1000)
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.plot(x, lebesgue_function(legendre_gauss_lobatto(p + 1), x),
+            label=f"LGL nodes (p={p})")
+    ax.plot(x, lebesgue_function(np.linspace(-1, 1, p + 1), x), "--",
+            label="equidistant nodes")
+    ax.set_ylabel("Lebesgue function")
+    ax.legend()
+    ax.grid(alpha=0.3)
+    path = os.path.join(_outdir(outdir), f"lebesgue_p{p}.png")
+    fig.savefig(path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
+def plot_runge(p, outdir="postprocessing/plots"):
+    """Runge-phenomenon demo: 1/(1+25x^2) interpolated on LGL vs equidistant."""
+    if not HAVE_MPL:
+        return None
+    from dgtpu.basis import lagrange_basis, legendre_gauss_lobatto
+    f = lambda x: 1.0 / (1 + 25 * x ** 2)
+    x = np.linspace(-1, 1, 600)
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.plot(x, f(x), "k", lw=1, label="1/(1+25x²)")
+    for nodes, label, style in ((legendre_gauss_lobatto(p + 1), "LGL", "-"),
+                                (np.linspace(-1, 1, p + 1), "equidistant", "--")):
+        L = lagrange_basis(x, nodes)
+        ax.plot(x, L @ f(nodes), style, label=f"{label} interp (p={p})")
+    ax.legend()
+    ax.grid(alpha=0.3)
+    path = os.path.join(_outdir(outdir), f"runge_p{p}.png")
+    fig.savefig(path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
 def plot_basis_1d(p, outdir="postprocessing/plots"):
     """Orthonormal Legendre basis functions (visualization.py:238-401)."""
     if not HAVE_MPL:

@@ -75,6 +75,26 @@ def test_grad_vandermonde_consistency():
     assert np.allclose(Vr, (Vp - Vm) / (2 * h), atol=1e-6)
 
 
+def test_legendre_to_lagrange_interpolates_polynomials():
+    from dgtpu.basis import legendre_to_lagrange_1d, lagrange_basis
+    p = 3
+    r = np.linspace(-1, 1, 9)
+    xi = legendre_gauss_lobatto(p + 1)
+    T = legendre_to_lagrange_1d(p, r)
+    f = lambda x: 2 * x ** 3 - x + 0.5
+    assert np.allclose(T @ f(xi), f(r), atol=1e-13)
+    # equals the directly-constructed Lagrange basis
+    assert np.allclose(T, lagrange_basis(r, xi), atol=1e-12)
+
+
+def test_lebesgue_lgl_beats_equidistant():
+    from dgtpu.basis import lebesgue_function
+    x = np.linspace(-1, 1, 500)
+    lgl = lebesgue_function(legendre_gauss_lobatto(11), x).max()
+    equi = lebesgue_function(np.linspace(-1, 1, 11), x).max()
+    assert lgl < 3.5 < equi  # p=10: LGL constant ~2.05, equidistant ~29
+
+
 def test_quadrature_set_construction():
     qs = QuadratureSet(6, {"u": 6, "p": 5}, {"u": 10, "p": 8})
     assert qs.V_grid_grid.shape == (36, 36)
