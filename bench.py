@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--reps", type=int, default=200)
     ap.add_argument("--backend", default=None)
     ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--grid-n", type=int, default=8,
+                    help="elements per direction (8 = BASELINE flagship)")
+    ap.add_argument("--p", type=int, default=5, help="solution degree")
     args = ap.parse_args()
 
     import jax
@@ -41,7 +44,7 @@ def main():
     from dgtpu.solvers.multigrid import MultigridSolver
 
     from dgtpu.utils.device import setup_scope
-    dg = _flagship()
+    dg = _flagship(n=args.grid_n, p_grid=args.p, p_sol=args.p)
     dtype = jnp.float32 if args.dtype == "float32" else jnp.float64
     target = jax.devices()[0]
 
@@ -183,6 +186,8 @@ def main():
         "f64_cycles_to_1e-6": int(n64),
         "residual_after_5_fast_cycles": r5,
         "impl": "xla",
+        "grid": f"{args.grid_n}x{args.grid_n}_p{args.p}",
+        "n_dof": int(rhs.shape[0]),
     }
     if t_refine is not None:
         result["time_to_1e-10_ms"] = round(t_refine, 3)
