@@ -157,9 +157,18 @@ class DGFEM:
             self.transfer_types[0:0] = ["penalty_parameter"] * (len(sigmas) - 1)
 
         if mg.polynomial_coarsening.enabled:
-            p_levels = {v: sorted(map(int, str(getattr(
-                mg.polynomial_coarsening.levels, v)).split(",")))
-                for v in self.vars}
+            p_levels = {}
+            for v in self.vars:
+                node = mg.polynomial_coarsening.levels
+                if hasattr(node, v) and getattr(node, v) is not None:
+                    p_levels[v] = sorted(map(int, str(getattr(node, v)).split(",")))
+                elif v == "p":
+                    # derive pressure levels from the velocity ones
+                    # (Taylor-Hood pairing) — the reference leaves Stokes
+                    # p-levels unimplemented (paramfile.yml:41 note)
+                    p_levels["p"] = [max(pu - 1, 0) for pu in p_levels["u"]]
+                else:
+                    raise ValueError(f"polynomial coarsening levels missing for {v}")
             if mg.penalty_parameter_coarsening.enabled:
                 p_levels_grids = {v: lv[:-1] for v, lv in p_levels.items()}
                 s.problem.SIP_penalty_parameter_multiplier = multipliers[0]
@@ -171,10 +180,18 @@ class DGFEM:
                              dict(zip(p_levels_grids.keys(), ps)), sig)
                    for ps, sig in zip(zip(*p_levels_grids.values()), sigma_min)]
             self.levels[0:0] = new
-            p_transfers = [make_transfer("polynomial",
-                                         p_fine=p_levels["u"][i + 1],
-                                         p_coarse=p_levels["u"][i])
-                           for i in range(len(p_levels["u"]) - 1)]
+            if self.vars == ["u", "p"]:
+                from dgtpu.models.stokes import StokesPolynomialTransfer
+                p_transfers = [StokesPolynomialTransfer(
+                    self.geometry.N,
+                    pu_fine=p_levels["u"][i + 1], pu_coarse=p_levels["u"][i],
+                    pp_fine=p_levels["p"][i + 1], pp_coarse=p_levels["p"][i])
+                    for i in range(len(p_levels["u"]) - 1)]
+            else:
+                p_transfers = [make_transfer("polynomial",
+                                             p_fine=p_levels["u"][i + 1],
+                                             p_coarse=p_levels["u"][i])
+                               for i in range(len(p_levels["u"]) - 1)]
             self.transfers[0:0] = p_transfers
             self.transfer_types[0:0] = ["polynomial"] * len(p_transfers)
 

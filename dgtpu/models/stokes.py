@@ -349,6 +349,50 @@ def assemble_rhs_stokes(level, mms, fds):
     return jnp.concatenate([rhs_u, rhs_v, rhs_p], axis=1).reshape(-1)
 
 
+class StokesPolynomialTransfer:
+    """p-coarsening transfer on globally ordered Stokes vectors [u; v; p].
+
+    The reference's paramfile notes this 'should be extended with p-levels
+    for Stokes multigrid' (input/paramfile.yml:41) but never implements it;
+    here each component gets its zero-padded-identity modal restriction
+    applied per element.
+    """
+
+    kind = "polynomial"
+
+    def __init__(self, N, pu_fine, pu_coarse, pp_fine, pp_coarse):
+        import jax.numpy as jnp
+        from dgtpu.ops.transfer import p_restriction
+        self.N = N
+        self.Ru = jnp.asarray(p_restriction(pu_fine, pu_coarse))
+        self.Rp = jnp.asarray(p_restriction(pp_fine, pp_coarse))
+        self.nu_f, self.nu_c = (pu_fine + 1) ** 2, (pu_coarse + 1) ** 2
+        self.np_f, self.np_c = (pp_fine + 1) ** 2, (pp_coarse + 1) ** 2
+        # dtype-castable attributes for the bench fast path
+        self.R = self.Ru
+        self.P = self.Ru.T
+
+    def _split(self, vec, nu, npd):
+        n = self.N
+        return (vec[:n * nu].reshape(n, nu),
+                vec[n * nu:2 * n * nu].reshape(n, nu),
+                vec[2 * n * nu:].reshape(n, npd))
+
+    def restrict(self, vec):
+        import jax.numpy as jnp
+        u, v, p = self._split(vec, self.nu_f, self.np_f)
+        return jnp.concatenate([
+            (u @ self.Ru.T).reshape(-1), (v @ self.Ru.T).reshape(-1),
+            (p @ self.Rp.T).reshape(-1)])
+
+    def prolong(self, vec):
+        import jax.numpy as jnp
+        u, v, p = self._split(vec, self.nu_c, self.np_c)
+        return jnp.concatenate([
+            (u @ self.Ru).reshape(-1), (v @ self.Ru).reshape(-1),
+            (p @ self.Rp).reshape(-1)])
+
+
 # --------------------------------------------------------------------------
 # reorderings, pressure postprocessing, Epsilon
 # --------------------------------------------------------------------------

@@ -200,6 +200,37 @@ def test_stokes_penalty_multigrid():
     assert len(dg.residuals) - 1 <= 20
 
 
+def test_stokes_polynomial_multigrid():
+    """Stokes p-multigrid (u 3->2, derived p 2->1) with distributive GS —
+    the extension the reference's paramfile wishes for (paramfile.yml:41)."""
+    from dgtpu.settings import Settings, load_params
+    params = load_params()
+    params["problem"]["type"] = "Stokes"
+    params["grid"]["filename"] = "Rectangle_4X4_nPoly2.xyz"
+    params["grid"]["polynomial degree"] = 2
+    params["solution"]["u"]["polynomial degree"] = 3
+    params["solution"]["p"]["polynomial degree"] = 2
+    params["solution"]["ordering"] = "global"
+    params["solver"]["multigrid"]["penalty parameter coarsening"]["enabled"] = False
+    params["solver"]["multigrid"]["polynomial coarsening"]["enabled"] = True
+    params["solver"]["multigrid"]["polynomial coarsening"]["levels"]["u"] = "2,3"
+    for which in ("pre smoother", "post smoother"):
+        params["solver"]["multigrid"]["polynomial coarsening"][which]["smoother"] = \
+            "distributive_gauss_seidel"
+    params["solver"]["multigrid"]["geometric coarsening"]["enabled"] = False
+    params["solver"]["multigrid"]["coarse grid solver"] = "direct"
+    params["visualization"]["export"] = False
+    params["visualization"]["automatically open paraview"] = False
+    params["logging"]["loglevel"] = "ERROR"
+    s = Settings(params)
+    s.solver.method = "multigrid"
+    s.update_setting("solver.discretization", "dg")
+    dg = DGFEM(settings=s, solve_multigrid=True)
+    dg.solve()
+    assert dg.residuals[-1] < 1e-6
+    assert len(dg.residuals) - 1 <= 15
+
+
 def test_amg_poisson():
     from dgtpu.solvers.amg import solve_amg
     s = stokes_settings("direct")
