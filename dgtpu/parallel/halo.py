@@ -184,7 +184,7 @@ class ShardedMultigrid:
 
     def build(self):
         """Construct the jitted sharded solve function."""
-        from jax.experimental.shard_map import shard_map
+        shard_map = jax.shard_map
         mesh = self.mesh
         n_lev = len(self.levels)
         spec = P(AXIS)
@@ -216,7 +216,7 @@ class ShardedMultigrid:
         fn = shard_map(solve_local, mesh=mesh,
                        in_specs=data_specs + (spec, spec),
                        out_specs=(spec, P(), P()),
-                       check_rep=False)
+                       check_vma=False)
         self._built = jax.jit(fn)
         return self._built
 

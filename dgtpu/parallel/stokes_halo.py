@@ -1,0 +1,335 @@
+"""Sharded Stokes multigrid: distributive GS smoothing over a device mesh.
+
+The reference has no parallel code at all (SURVEY §2); its Stokes multigrid
+path configures a *dense* distributive Gauss-Seidel smoother
+(``dgfem/relaxation.py:220-441``) which we re-derived in
+``dgtpu.models.stokes.DistributiveGS``.  This module is the multi-chip
+re-design: the same ``lsq``-splitting algorithm expressed purely in terms of
+5-point *stencil* applications so every step shards over an element-domain
+decomposition (j-banded, like ``dgtpu.parallel.halo``):
+
+    momentum   A  : (N, 5, 2Nu, 2Nu)  velocity -> velocity
+    gradient   G  : (N, 5, 2Nu, Np)   pressure -> momentum rows
+    divergence D  : (N, 5, Np, 2Nu)   velocity -> continuity rows
+    DG = D @ G    : 13-point operator, applied as two stencil matvecs
+                    (two halo exchanges) — never materialized.
+
+One DGS sweep is a fixed sequence of stencil matvecs + red-black colored
+block-GS passes; the only communication is one-row ``lax.ppermute`` halo
+exchanges riding the ICI (one per stencil application).  The p-/penalty-
+multigrid transfers are element-local (communication-free); the coarsest
+level is solved with a replicated dense pinned LU inverse (one
+``all_gather`` per visit), exactly like the Poisson path.
+
+Red-black sweeps are the documented parallel deviation from the reference's
+lexicographic dense sweeps (same deviation as the sharded Poisson path); for
+the 13-point DG operator the checkerboard coloring is a hybrid Jacobi/GS
+pass (diagonal and distance-2 couplings stay same-color), which is fine for
+a *smoother* — convergence is validated against the single-chip solver in
+``tests/test_parallel.py``.
+
+Design note: the obvious cheaper alternative — cell-wise Vanka, i.e. plain
+red-black block-GS on the local-ordering saddle stencil (one (2Nu+Np)^2
+block per element) — was prototyped and diverges hard on this SIP-DG
+discretization even with damping down to omega=0.3 (growth factor ~2 per
+cycle), so the distributive transform is structural, not optional.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dgtpu.parallel.halo import (AXIS, _halo_exchange, _local_matvec,
+                                 make_mesh, _pnorm2)
+from dgtpu.ops.transfer import p_restriction
+
+# stencil slot order [self, iL, iR, jL, jR]; mirror(s) = slot of e as seen
+# from its s-neighbor
+_MIRROR = np.array([0, 2, 1, 4, 3])
+
+
+def _matvec(blocks, x):
+    """Stencil matvec with halo exchange; blocks (Nj, Ni, 5, r, c), x (Nj, Ni, c)."""
+    up, down = _halo_exchange(x)
+    return _local_matvec(blocks, x, up, down)
+
+
+def _reshape_stencil(op, Ni, Nj):
+    n, s, br, bc = op.blocks.shape
+    assert n == Ni * Nj and s == 5
+    return jnp.where(op.mask[:, :, None, None], op.blocks, 0.0).reshape(
+        Nj, Ni, 5, br, bc)
+
+
+def _dg_diag_blocks(D_op, G_op):
+    """Diagonal (Np x Np) blocks of DG = D @ G, from the component stencils.
+
+    (DG)[e,e] = sum_s D[e,s] @ G[nbr(e,s), mirror(s)] — the column block of G
+    coupling the s-neighbor's momentum rows back to e's pressure.
+    """
+    Db = np.where(np.asarray(D_op.mask)[:, :, None, None],
+                  np.asarray(D_op.blocks), 0.0)
+    Gb = np.where(np.asarray(G_op.mask)[:, :, None, None],
+                  np.asarray(G_op.blocks), 0.0)
+    nbr = np.asarray(D_op.nbr)
+    n = Db.shape[0]
+    out = np.zeros((n, Db.shape[2], Db.shape[2]))
+    for s in range(5):
+        G_back = Gb[nbr[:, s], _MIRROR[s]]          # (N, 2Nu, Np)
+        out += np.einsum("npu,nuq->npq", Db[:, s], G_back)
+    return out
+
+
+class _LevelData:
+    """Per-level device arrays in the j-sharded (Nj, Ni, ...) layout."""
+
+    def __init__(self, level):
+        from dgtpu.ops.linalg import host_inv
+        if level.block_A is None:
+            raise ValueError("sharded Stokes needs a global-order assembly "
+                             "(level.block_A/D/G)")
+        self.Ni, self.Nj = level.Ni, level.Nj
+        self.nu = level.N_DOF_sol["u"]
+        self.npd = level.N_DOF_sol["p"]
+        Ni, Nj = self.Ni, self.Nj
+        self.A = _reshape_stencil(level.block_A, Ni, Nj)
+        self.D = _reshape_stencil(level.block_D, Ni, Nj)
+        self.G = _reshape_stencil(level.block_G, Ni, Nj)
+        self.A_Dinv = host_inv(self.A[:, :, 0])
+        dg_diag = _dg_diag_blocks(level.block_D, level.block_G)
+        self.DG_diag = jnp.asarray(dg_diag).reshape(Nj, Ni, self.npd, self.npd)
+        self.DG_Dinv = host_inv(self.DG_diag)
+        i = jnp.arange(Ni)[None, :]
+        j = jnp.arange(Nj)[:, None]
+        self.colors = ((i + j) % 2).astype(jnp.int32)
+
+    def tree(self):
+        return (self.A, self.D, self.G, self.A_Dinv, self.DG_diag,
+                self.DG_Dinv, self.colors)
+
+
+# -- inside-shard_map smoother kernels ---------------------------------------
+
+
+def _rb_bgs_A(A, A_Dinv, colors, rhs, x, n_pass):
+    """Red-black block-GS passes on the velocity operator A."""
+    for _ in range(n_pass):
+        for c in (0, 1):
+            off = _matvec(A, x) - jnp.einsum("jiab,jib->jia", A[:, :, 0], x)
+            xn = jnp.einsum("jiab,jib->jia", A_Dinv, rhs - off)
+            x = jnp.where((colors == c)[:, :, None], xn, x)
+    return x
+
+
+def _rb_bgs_DG(D, G, DG_diag, DG_Dinv, colors, rhs, p, n_pass):
+    """Colored block-GS passes on DG = D@G applied as composed matvecs."""
+    for _ in range(n_pass):
+        for c in (0, 1):
+            off = _matvec(D, _matvec(G, p)) - jnp.einsum(
+                "jiab,jib->jia", DG_diag, p)
+            pn = jnp.einsum("jiab,jib->jia", DG_Dinv, rhs - off)
+            p = jnp.where((colors == c)[:, :, None], pn, p)
+    return p
+
+
+def _dgs_sweep(data, f_mom, f_cont, uv, p, n_pass=2):
+    """One distributive-GS (lsq splitting) sweep — stencil/halo form of
+    ``DistributiveGS.sweep`` (models/stokes.py; relaxation.py:220-441)."""
+    A, D, G, A_Dinv, DG_diag, DG_Dinv, colors = data
+    rhs_mom = f_mom - _matvec(A, uv) - _matvec(G, p)
+    du_s = _rb_bgs_A(A, A_Dinv, colors, rhs_mom, jnp.zeros_like(uv), n_pass)
+    rhs_cont = f_cont - _matvec(D, uv + du_s)
+    dp_s = _rb_bgs_DG(D, G, DG_diag, DG_Dinv, colors, rhs_cont,
+                      jnp.zeros_like(p), n_pass)
+    G_dp = _matvec(G, dp_s)
+    du = du_s + G_dp
+    rhs_dg = -_matvec(D, _matvec(A, G_dp))
+    dp = _rb_bgs_DG(D, G, DG_diag, DG_Dinv, colors, rhs_dg,
+                    jnp.zeros_like(p), n_pass)
+    return uv + du, p + dp
+
+
+def _saddle_residual(data, f_mom, f_cont, uv, p):
+    A, D, G = data[0], data[1], data[2]
+    return f_mom - _matvec(A, uv) - _matvec(G, p), f_cont - _matvec(D, uv)
+
+
+def _pnorm_pair(r_mom, r_cont):
+    s = jax.lax.psum(jnp.sum(r_mom * r_mom) + jnp.sum(r_cont * r_cont), AXIS)
+    n = jax.lax.psum(jnp.asarray(r_mom.size + r_cont.size, r_mom.dtype), AXIS)
+    return jnp.sqrt(s / n)
+
+
+class ShardedStokesMultigrid:
+    """Sharded Stokes V-cycle with distributive-GS smoothing.
+
+    Levels are coarsest-first, each assembled in global ordering
+    (``assemble_stokes`` with ``solution.ordering == 'global'``).  Transfer
+    kinds are inferred from the level polynomial degrees: equal degrees =>
+    penalty (identity), otherwise component-wise modal truncation
+    (element-local, communication-free).
+    """
+
+    def __init__(self, levels, settings, mesh=None, pre_iters=1, post_iters=1,
+                 smoother_passes=2):
+        self.mesh = mesh if mesh is not None else make_mesh()
+        n_dev = self.mesh.devices.size
+        self.levels = levels
+        self.Ni, self.Nj = levels[-1].Ni, levels[-1].Nj
+        if self.Nj % n_dev:
+            raise ValueError(f"Nj={self.Nj} must divide over {n_dev} devices")
+        for l in levels:
+            if (l.Ni, l.Nj) != (self.Ni, self.Nj):
+                raise NotImplementedError(
+                    "sharded Stokes supports p-/penalty-coarsening "
+                    "(element counts equal across levels)")
+        self.data = [_LevelData(l) for l in levels]
+        self.pre_iters, self.post_iters = pre_iters, post_iters
+        self.n_pass = smoother_passes
+
+        # element-local component transfers between consecutive levels
+        self.Ruv, self.Puv, self.Rp, self.Pp = [], [], [], []
+        for lo, hi in zip(levels[:-1], levels[1:]):
+            pu_c, pu_f = lo.P_sol["u"], hi.P_sol["u"]
+            pp_c, pp_f = lo.P_sol["p"], hi.P_sol["p"]
+            if (pu_c, pp_c) == (pu_f, pp_f):
+                nu_f, np_f = (pu_f + 1) ** 2, (pp_f + 1) ** 2
+                Ru2 = np.eye(2 * nu_f)
+                Rp = np.eye(np_f)
+            else:
+                Ru = p_restriction(pu_f, pu_c)
+                Ru2 = np.block([[Ru, np.zeros_like(Ru)],
+                                [np.zeros_like(Ru), Ru]])
+                Rp = p_restriction(pp_f, pp_c)
+            self.Ruv.append(jnp.asarray(Ru2))
+            self.Puv.append(jnp.asarray(Ru2.T))
+            self.Rp.append(jnp.asarray(Rp))
+            self.Pp.append(jnp.asarray(Rp.T))
+
+        # replicated pinned coarse inverse in [uv-interleaved; p] ordering
+        from dgtpu.ops.linalg import host_lu_inverse
+        c = levels[0]
+        A_d = c.block_A.to_dense()
+        D_d = c.block_D.to_dense()
+        G_d = c.block_G.to_dense()
+        n_p = c.N * c.N_DOF_sol["p"]
+        Z = jnp.zeros((n_p, n_p), dtype=A_d.dtype).at[0, 0].set(1.0)
+        dense = jnp.concatenate([
+            jnp.concatenate([A_d, G_d], axis=1),
+            jnp.concatenate([D_d, Z], axis=1)], axis=0)
+        self.coarse_inv = host_lu_inverse(dense)
+
+        self.tol = settings.solver.multigrid.tolerance
+        self.max_cycles = int(settings.solver.multigrid.max_cycles)
+        self._built = None
+
+    # -- V-cycle (statically unrolled over levels) ---------------------------
+
+    def _coarse_solve(self, coarse_inv, f_mom, f_cont):
+        r_uv = jax.lax.all_gather(f_mom, AXIS, axis=0, tiled=True)
+        r_p = jax.lax.all_gather(f_cont, AXIS, axis=0, tiled=True)
+        full = jnp.concatenate([r_uv.reshape(-1), r_p.reshape(-1)])
+        e = coarse_inv @ full
+        n_uv = r_uv.size
+        e_uv = e[:n_uv].reshape(r_uv.shape)
+        e_p = e[n_uv:].reshape(r_p.shape)
+        idx = jax.lax.axis_index(AXIS)
+        nj_loc = f_mom.shape[0]
+        return (jax.lax.dynamic_slice_in_dim(e_uv, idx * nj_loc, nj_loc, 0),
+                jax.lax.dynamic_slice_in_dim(e_p, idx * nj_loc, nj_loc, 0))
+
+    def _v_cycle(self, k, datas, coarse_inv, Rs, Ps, f_mom, f_cont, uv, p):
+        if k == 0:
+            return self._coarse_solve(coarse_inv, f_mom, f_cont)
+        data = datas[k]
+        for _ in range(self.pre_iters):
+            uv, p = _dgs_sweep(data, f_mom, f_cont, uv, p, self.n_pass)
+        r_mom, r_cont = _saddle_residual(data, f_mom, f_cont, uv, p)
+        Ruv, Rp = Rs[k - 1]
+        fc_mom = jnp.einsum("ab,jib->jia", Ruv, r_mom)
+        fc_cont = jnp.einsum("ab,jib->jia", Rp, r_cont)
+        e_uv, e_p = self._v_cycle(k - 1, datas, coarse_inv, Rs, Ps,
+                                  fc_mom, fc_cont,
+                                  jnp.zeros_like(fc_mom), jnp.zeros_like(fc_cont))
+        Puv, Pp = Ps[k - 1]
+        uv = uv + jnp.einsum("ab,jib->jia", Puv, e_uv)
+        p = p + jnp.einsum("ab,jib->jia", Pp, e_p)
+        for _ in range(self.post_iters):
+            uv, p = _dgs_sweep(data, f_mom, f_cont, uv, p, self.n_pass)
+        return uv, p
+
+    def build(self):
+        shard_map = jax.shard_map
+        mesh = self.mesh
+        n_lev = len(self.levels)
+        spec = P(AXIS)
+        tol, max_cycles = self.tol, self.max_cycles
+        datas = [d.tree() for d in self.data]
+        data_specs = tuple(tuple(P(AXIS) for _ in d) for d in datas)
+        Rs_specs = tuple((P(), P()) for _ in self.Ruv)
+
+        def solve_local(datas, coarse_inv, Rs, Ps, f_mom, f_cont, uv0, p0):
+            r0m, r0c = _saddle_residual(datas[-1], f_mom, f_cont, uv0, p0)
+            res0 = _pnorm_pair(r0m, r0c)
+
+            def cond(state):
+                n, uv, p, res = state
+                return (n < max_cycles) & (res >= tol) & jnp.isfinite(res)
+
+            def body(state):
+                n, uv, p, res = state
+                uv, p = self._v_cycle(n_lev - 1, datas, coarse_inv, Rs, Ps,
+                                      f_mom, f_cont, uv, p)
+                rm, rc = _saddle_residual(datas[-1], f_mom, f_cont, uv, p)
+                return n + 1, uv, p, _pnorm_pair(rm, rc) / res0
+
+            n0 = jnp.asarray(0, dtype=jnp.int32)
+            one = jnp.asarray(1.0, dtype=f_mom.dtype)
+            n, uv, p, res = jax.lax.while_loop(cond, body, (n0, uv0, p0, one))
+            return uv, p, res, n
+
+        fn = shard_map(solve_local, mesh=mesh,
+                       in_specs=(data_specs, P(), Rs_specs, Rs_specs,
+                                 spec, spec, spec, spec),
+                       out_specs=(spec, spec, P(), P()),
+                       check_vma=False)
+        self._built = jax.jit(fn)
+        return self._built
+
+    # -- host-facing API ------------------------------------------------------
+
+    def _split_fields(self, rhs_global):
+        """Global-order [all u; all v; p] vector -> ((Nj,Ni,2Nu),(Nj,Ni,Np))."""
+        from dgtpu.models.stokes import _global_uv_to_elem
+        lvl = self.levels[-1]
+        n, nu, npd = lvl.N, lvl.N_DOF_sol["u"], lvl.N_DOF_sol["p"]
+        uv = _global_uv_to_elem(rhs_global[:2 * n * nu], n, nu)
+        f_mom = uv.reshape(self.Nj, self.Ni, 2 * nu)
+        f_cont = rhs_global[2 * n * nu:].reshape(self.Nj, self.Ni, npd)
+        return f_mom, f_cont
+
+    def _join_fields(self, uv, p):
+        from dgtpu.models.stokes import _elem_uv_to_global
+        lvl = self.levels[-1]
+        n, nu = lvl.N, lvl.N_DOF_sol["u"]
+        uv_g = _elem_uv_to_global(uv.reshape(-1), n, nu)
+        return jnp.concatenate([uv_g, p.reshape(-1)])
+
+    def solve(self, rhs_global, u0_global=None):
+        f_mom, f_cont = self._split_fields(rhs_global)
+        if u0_global is None:
+            uv0, p0 = jnp.zeros_like(f_mom), jnp.zeros_like(f_cont)
+        else:
+            uv0, p0 = self._split_fields(u0_global)
+        if self._built is None:
+            self.build()
+        with self.mesh:
+            sh = NamedSharding(self.mesh, P(AXIS))
+            args = [jax.device_put(x, sh) for x in (f_mom, f_cont, uv0, p0)]
+            datas = tuple(tuple(jax.device_put(a, sh) for a in d.tree())
+                          for d in self.data)
+            Rs = tuple((r, rp) for r, rp in zip(self.Ruv, self.Rp))
+            Ps = tuple((pu, pp) for pu, pp in zip(self.Puv, self.Pp))
+            uv, p, res, n = self._built(datas, self.coarse_inv, Rs, Ps, *args)
+        return self._join_fields(uv, p), float(res), int(n)

@@ -42,11 +42,11 @@ def test_sharded_matvec_matches_single_device(base_settings):
     x = jnp.asarray(rng.standard_normal(lvl.N * B))
     expect = np.asarray(lvl.op.matvec(x))
 
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
     mesh = make_mesh(8)
-    fn = shard_map(_matvec_with_halo, mesh=mesh, in_specs=(P(AXIS), P(AXIS)),
-                   out_specs=P(AXIS), check_rep=False)
+    fn = jax.shard_map(_matvec_with_halo, mesh=mesh,
+                       in_specs=(P(AXIS), P(AXIS)),
+                       out_specs=P(AXIS), check_vma=False)
     with mesh:
         xg = jax.device_put(vec_to_grid(x, lvl.Ni, lvl.Nj, B),
                             NamedSharding(mesh, P(AXIS)))
@@ -74,3 +74,42 @@ def test_sharded_multigrid_matches_direct(base_settings):
 def test_dryrun_entrypoint():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_sharded_stokes_multigrid(base_settings):
+    """Sharded Stokes p-multigrid (distributive-GS smoothing in stencil/halo
+    form) converges and reproduces the direct-solve velocity field."""
+    from dataclasses import replace
+
+    from dgtpu.models.stokes import assemble_stokes
+    from dgtpu.parallel.stokes_halo import ShardedStokesMultigrid
+    from dgtpu.solvers.direct import solve_direct
+
+    s = base_settings
+    s.update_setting("problem.type", "Stokes")
+    s.update_setting("grid.polynomial_degree", 2)
+    s.update_setting("solution.ordering", "global")
+    geom = Geometry(os.path.join(INPUT_DIR, "Rectangle_8X8_nPoly2.xyz"), s)
+    mms = ManufacturedSolution(
+        {"u": "sin(pi*x)*sin(pi*y)", "v": "cos(pi*x)*cos(pi*y)",
+         "p": "x**3 + y**3"}, "Stokes", s.problem.kinematic_viscosity)
+    mult = s.problem.SIP_penalty_parameter_multiplier
+    fine = GridLevel(geom, s, ["u", "p"], {"u": 2, "p": 1}, sigma=9 * mult)
+    coarse = GridLevel(geom, s, ["u", "p"], {"u": 1, "p": 0}, sigma=4 * mult)
+    assemble_stokes(fine, mms)
+    assemble_stokes(coarse)
+
+    mg = ShardedStokesMultigrid([coarse, fine], s, mesh=make_mesh(8))
+    u, res, n = mg.solve(fine.rhs)
+    assert res < 1e-6
+    assert n <= 20
+
+    # the returned vector solves the (unsharded) global saddle system
+    r = np.asarray(fine.rhs - fine.op.matvec(jnp.asarray(u)))
+    assert np.linalg.norm(r) / np.linalg.norm(np.asarray(fine.rhs)) < 1e-5
+
+    # velocity (gauge-free) parity with the pinned direct solve
+    ud = np.asarray(solve_direct(replace(fine.op, pin=True), fine.rhs))
+    n_uv = 2 * fine.N * fine.N_DOF_sol["u"]
+    scale = np.abs(ud[:n_uv]).max()
+    assert np.abs(np.asarray(u)[:n_uv] - ud[:n_uv]).max() < 1e-5 * scale
