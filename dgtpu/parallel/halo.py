@@ -130,41 +130,72 @@ def _pnorm2(x):
 class ShardedMultigrid:
     """Sharded Poisson multigrid over a 1D device mesh.
 
-    Supports per-element transfers (p- and penalty-coarsening) which are
-    communication-free, with red-black GS smoothing and a replicated coarse
-    dense solve (one all_gather per V-cycle visit of the coarsest level).
+    Supports p-/penalty-coarsening (element-local, communication-free
+    transfers) and geometric (h) coarsening: the 2x2 agglomeration is
+    shard-local because each device owns whole coarse-element rows — the
+    transfer needs no communication either, provided every level's Nj
+    divides over the mesh.  Smoothing is red-black GS; the coarsest level
+    is a replicated dense solve (one all_gather per visit).
     """
 
     def __init__(self, levels, transfers, settings, mesh=None,
                  pre_iters=2, post_iters=1):
         self.mesh = mesh if mesh is not None else make_mesh()
         n_dev = self.mesh.devices.size
-        self.Ni = levels[0].Ni
-        self.Nj = levels[0].Nj
-        if self.Nj % n_dev:
-            raise ValueError(f"Nj={self.Nj} must divide over {n_dev} devices")
+        self.dims = [(l.Ni, l.Nj) for l in levels]
+        self.Ni, self.Nj = self.dims[-1]
+        for (ni, nj) in self.dims:
+            if nj % n_dev:
+                raise ValueError(f"Nj={nj} must divide over {n_dev} devices")
         for t in transfers:
-            if t.kind not in ("polynomial", "penalty"):
+            if t.kind not in ("polynomial", "penalty", "geometric"):
                 raise NotImplementedError(
-                    "sharded multigrid supports element-local (p/penalty) transfers")
+                    "sharded multigrid supports p/penalty/geometric transfers "
+                    f"(got {t.kind})")
         self.levels = levels
+        self.transfer_meta = [(t.kind, getattr(t, "cf_f", 1)) for t in transfers]
         self.pre_iters, self.post_iters = pre_iters, post_iters
-        self.blocks = [reshape_level(l.op, self.Ni, self.Nj) for l in levels]
+        self.blocks = [reshape_level(l.op, ni, nj)
+                       for l, (ni, nj) in zip(levels, self.dims)]
         from dgtpu.ops.linalg import host_inv
         self.Dinv = [host_inv(b[:, :, 0]) for b in self.blocks]
         self.R = [t.R for t in transfers]
         self.Pr = [t.P for t in transfers]
         from dgtpu.ops.linalg import host_lu_inverse
         self.coarse_inv = host_lu_inverse(levels[0].op.to_dense())
-        i = jnp.arange(self.Ni)[None, :]
-        j = jnp.arange(self.Nj)[:, None]
-        self.colors = ((i + j) % 2).astype(jnp.int32)
+        self.colors = []
+        for (ni, nj) in self.dims:
+            i = jnp.arange(ni)[None, :]
+            j = jnp.arange(nj)[:, None]
+            self.colors.append(((i + j) % 2).astype(jnp.int32))
         self.tol = settings.solver.multigrid.tolerance
         self.max_cycles = int(settings.solver.multigrid.max_cycles)
         self._built = None
 
+    def _restrict(self, k, r):
+        """Level k residual -> level k-1 rhs (shard-local)."""
+        kind, cf = self.transfer_meta[k - 1]
+        if kind == "geometric":
+            nj_loc, ni, B = r.shape
+            rows = r.reshape(nj_loc // cf, cf, ni // cf, cf, B)
+            rows = rows.transpose(0, 2, 1, 3, 4).reshape(
+                nj_loc // cf, ni // cf, cf * cf * B)
+            return jnp.einsum("ab,jib->jia", self.R[k - 1], rows)
+        return jnp.einsum("ab,jib->jia", self.R[k - 1], r)
+
+    def _prolong(self, k, e_c):
+        """Level k-1 correction -> level k (shard-local)."""
+        kind, cf = self.transfer_meta[k - 1]
+        v = jnp.einsum("ab,jib->jia", self.Pr[k - 1], e_c)
+        if kind == "geometric":
+            njc_loc, nic, _ = e_c.shape
+            B = v.shape[2] // (cf * cf)
+            v = v.reshape(njc_loc, nic, cf, cf, B).transpose(0, 2, 1, 3, 4)
+            return v.reshape(njc_loc * cf, nic * cf, B)
+        return v
+
     def _v_cycle(self, k, data, rhs, u):
-        blocks, Dinv, colors, coarse_inv, R, Pr = data
+        blocks, Dinv, colors, coarse_inv = data
         if k == 0:
             # replicated coarse solve: gather the full coarse residual
             r_full = jax.lax.all_gather(rhs, AXIS, axis=0, tiled=True)
@@ -174,12 +205,14 @@ class ShardedMultigrid:
             nj_loc = rhs.shape[0]
             return jax.lax.dynamic_slice_in_dim(e_full, idx * nj_loc, nj_loc, 0)
         b = blocks[k]
-        u = _rb_gs_sweep(b, Dinv[k], rhs, u, colors, n_pass=2 * self.pre_iters)
+        u = _rb_gs_sweep(b, Dinv[k], rhs, u, colors[k],
+                         n_pass=2 * self.pre_iters)
         r = rhs - _matvec_with_halo(b, u)
-        r_c = jnp.einsum("ab,jib->jia", R[k - 1], r)
+        r_c = self._restrict(k, r)
         e_c = self._v_cycle(k - 1, data, r_c, jnp.zeros_like(r_c))
-        u = u + jnp.einsum("ab,jib->jia", Pr[k - 1], e_c)
-        u = _rb_gs_sweep(b, Dinv[k], rhs, u, colors, n_pass=2 * self.post_iters)
+        u = u + self._prolong(k, e_c)
+        u = _rb_gs_sweep(b, Dinv[k], rhs, u, colors[k],
+                         n_pass=2 * self.post_iters)
         return u
 
     def build(self):
@@ -190,12 +223,11 @@ class ShardedMultigrid:
         spec = P(AXIS)
         data_specs = (tuple(P(AXIS) for _ in self.blocks),
                       tuple(P(AXIS) for _ in self.Dinv),
-                      P(AXIS), P(), tuple(P() for _ in self.R),
-                      tuple(P() for _ in self.Pr))
+                      tuple(P(AXIS) for _ in self.colors), P())
         tol, max_cycles = self.tol, self.max_cycles
 
-        def solve_local(blocks, Dinv, colors, coarse_inv, R, Pr, rhs, u0):
-            data = (blocks, Dinv, colors, coarse_inv, R, Pr)
+        def solve_local(blocks, Dinv, colors, coarse_inv, rhs, u0):
+            data = (blocks, Dinv, colors, coarse_inv)
             res0 = _pnorm2(rhs - _matvec_with_halo(blocks[-1], u0))
 
             def cond(state):
@@ -231,7 +263,7 @@ class ShardedMultigrid:
             sh = NamedSharding(self.mesh, P(AXIS))
             rhs = jax.device_put(rhs, sh)
             u0 = jax.device_put(u0, sh)
-            args = (tuple(self.blocks), tuple(self.Dinv), self.colors,
-                    self.coarse_inv, tuple(self.R), tuple(self.Pr))
+            args = (tuple(self.blocks), tuple(self.Dinv), tuple(self.colors),
+                    self.coarse_inv)
             u, res, n = self._built(*args, rhs, u0)
         return grid_to_vec(u), float(res), int(n)

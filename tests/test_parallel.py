@@ -113,3 +113,39 @@ def test_sharded_stokes_multigrid(base_settings):
     n_uv = 2 * fine.N * fine.N_DOF_sol["u"]
     scale = np.abs(ud[:n_uv]).max()
     assert np.abs(np.asarray(u)[:n_uv] - ud[:n_uv]).max() < 1e-5 * scale
+
+
+def test_sharded_geometric_multigrid(base_settings):
+    """p + geometric (h) hierarchy sharded over 8 devices: the 2x2
+    agglomeration is shard-local (whole coarse rows per device)."""
+    from dgtpu.geometry import generate_rectangle_grid, write_plot3d
+    from dgtpu.level import CoarseGridLevel
+
+    s = base_settings
+    path = os.path.join(INPUT_DIR, "Rectangle_8X16_nPoly1.xyz")
+    if not os.path.exists(path):
+        write_plot3d(path, *generate_rectangle_grid(8, 16, 1))
+    s.update_setting("grid.polynomial_degree", 1)
+    geom = Geometry(path, s)
+    mms = ManufacturedSolution({"u": "sin(pi*x)*sin(pi*y)"}, "Poisson", 1.0)
+
+    fine = GridLevel(geom, s, ["u"], {"u": 2}, sigma=9.0)
+    p_coarse = GridLevel(geom, s, ["u"], {"u": 1}, sigma=4.0)
+    geo = CoarseGridLevel(geom, p_coarse, s, ["u"], 2)
+    fine.op, rhs, _ = assemble_poisson(fine, mms)
+    p_coarse.op, _, _ = assemble_poisson(p_coarse)
+    geo.op, _, _ = assemble_poisson(geo)
+
+    transfers = [
+        make_transfer("geometric", p_fine=1, Ni_c=geo.Ni, Nj_c=geo.Nj, cf=2),
+        make_transfer("polynomial", p_fine=2, p_coarse=1),
+    ]
+    mg = ShardedMultigrid([geo, p_coarse, fine], transfers, s,
+                          mesh=make_mesh(8))
+    u, res, n = mg.solve(rhs)
+    assert res < 1e-6, res
+    assert n <= 15, n
+
+    from dgtpu.solvers.direct import solve_direct
+    ud = np.asarray(solve_direct(fine.op, rhs))
+    assert np.abs(np.asarray(u) - ud).max() < 1e-4 * np.abs(ud).max()
