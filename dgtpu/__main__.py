@@ -48,6 +48,13 @@ def build_parser():
     parser.add_argument("-v", "--verbose", action="store_true")
     parser.add_argument("--silent", action="store_true")
     # dgtpu extensions
+    parser.add_argument("--shards", type=int, default=None,
+                        help="shard multigrid over N devices (element-row "
+                             "domain decomposition; new capability, no "
+                             "reference equivalent)")
+    parser.add_argument("--profile", type=str, default=None, metavar="DIR",
+                        help="capture a jax.profiler trace of the solve into "
+                             "DIR (inspect with TensorBoard/xprof)")
     parser.add_argument("--paramfile", type=str, help="alternate paramfile.yml")
     parser.add_argument("--backend", type=str, default=None,
                         help="force a JAX backend (cpu|tpu)")
@@ -98,11 +105,20 @@ def main(argv=None):
                       solve_krylov=args.solve_krylov,
                       solve_multigrid=args.solve_multigrid,
                       solve_finite_volume_method=args.solve_finite_volume_method,
-                      smoother=args.smoother, discretization=discretization,
+                      smoother=args.smoother, shards=args.shards,
+                      discretization=discretization,
                       check_eigenvalues=args.check_eigenvalues,
                       check_condition_number=args.check_condition_number,
                       plot_sparsity_pattern=args.plot_sparsity_pattern)
-        dgfem.solve()
+        if args.profile:
+            # jax.profiler trace around the solve (SURVEY §5 tracing: the
+            # reference only has wall-clock Timer logs, utils/timer.py:3-40)
+            import jax
+            with jax.profiler.trace(args.profile):
+                dgfem.solve()
+            logger.info(f"profiler trace written to {args.profile}")
+        else:
+            dgfem.solve()
         return dgfem
     except Exception:
         logger.critical(traceback.format_exc())

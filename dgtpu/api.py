@@ -297,15 +297,24 @@ class DGFEM:
                 from dgtpu.solvers.direct import solve_direct
                 u_modal = synchronize(solve_direct(finest.op, finest.rhs))
             elif method == "multigrid":
-                from dgtpu.solvers.multigrid import MultigridSolver
-                colors = [element_colors(l.Ni, l.Nj) for l in self.levels]
-                self.mg = MultigridSolver([l.op for l in self.levels],
-                                          self.transfers, self.transfer_types,
-                                          s, colors=colors, levels=self.levels)
-                u_modal, res, n, hist = self.mg.solve(finest.rhs)
-                u_modal = synchronize(u_modal)
-                self.residuals = [float(r) for r in np.asarray(hist)
-                                  if np.isfinite(r)]
+                n_shards = int(getattr(getattr(s, "performance", None),
+                                       "n_shards", 1) or 1)
+                if n_shards > 1:
+                    u_modal, res, n = self._solve_multigrid_sharded(n_shards)
+                    u_modal = synchronize(u_modal)
+                    self.residuals = self.mg.history
+                else:
+                    from dgtpu.solvers.multigrid import MultigridSolver
+                    colors = [element_colors(l.Ni, l.Nj) for l in self.levels]
+                    self.mg = MultigridSolver([l.op for l in self.levels],
+                                              self.transfers,
+                                              self.transfer_types,
+                                              s, colors=colors,
+                                              levels=self.levels)
+                    u_modal, res, n, hist = self.mg.solve(finest.rhs)
+                    u_modal = synchronize(u_modal)
+                    self.residuals = [float(r) for r in np.asarray(hist)
+                                      if np.isfinite(r)]
                 self.logger.info(f"multigrid: {int(n)} V-cycles, final normalized "
                                  f"residual {float(res):.6e}")
                 self._save_residual_history("multigrid")
@@ -329,6 +338,37 @@ class DGFEM:
         self.logger.info(f"Solving with {method} method took {t.elapsed():.4g} seconds")
 
         return self._postprocess(u_modal)
+
+    def _solve_multigrid_sharded(self, n_shards):
+        """Multigrid over an n_shards device mesh (element-row decomposition).
+
+        New capability with no reference equivalent (SURVEY §2: the reference
+        is strictly single-process).  Poisson uses red-black smoothing with
+        ppermute halo exchange; Stokes uses the distributive-GS smoother in
+        stencil/halo form.  Transfers must be p-/penalty- (element-local) or
+        geometric (shard-local agglomeration).
+        """
+        import jax as _jax
+        from dgtpu.parallel.halo import make_mesh
+        avail = len(_jax.devices())
+        if avail < n_shards:
+            raise ValueError(
+                f"performance.n_shards={n_shards} but only {avail} device(s) "
+                "are visible (set XLA_FLAGS=--xla_force_host_platform_device_"
+                "count=N for a virtual CPU mesh)")
+        mesh = make_mesh(n_shards)
+        finest = self.levels[-1]
+        if self.vars == ["u", "p"]:
+            from dgtpu.parallel.stokes_halo import ShardedStokesMultigrid
+            self.mg = ShardedStokesMultigrid(self.levels, self.settings,
+                                             mesh=mesh)
+        else:
+            from dgtpu.parallel.halo import ShardedMultigrid
+            self.mg = ShardedMultigrid(self.levels, self.transfers,
+                                       self.settings, mesh=mesh)
+        self.logger.info(f"sharded multigrid over {n_shards} devices "
+                         f"({mesh.devices.ravel()[0].platform})")
+        return self.mg.solve(finest.rhs)
 
     def _solve_smoother(self, finest):
         s = self.settings

@@ -147,7 +147,10 @@ class CoarseGridLevel(GridLevel):
         if g.Ni == 0 or g.Nj == 0:
             raise ValueError(
                 f"The number of original elements ({fine_level.Ni},{fine_level.Nj}) "
-                f"cannot be divided by a factor {coarsening_factor}")
+                f"cannot be divided by a factor {coarsening_factor} "
+                f"(element counts come from (grid nodes - 1) // grid.polynomial_"
+                f"degree = {fine_level.P_grid}; if this grid was read with the "
+                f"wrong degree, pass --p-grid / set grid.polynomial_degree)")
         # coarse element nodal coordinates: strided fine-grid nodes
         Xc, Yc = coarse_element_coords(fine_level.X, fine_level.Y,
                                        fine_level.Ni, fine_level.Nj,

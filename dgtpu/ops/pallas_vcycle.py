@@ -30,18 +30,31 @@ from dgtpu.ops import rolled
 from dgtpu.ops.linalg import host_inv, host_lu_inverse
 
 
-def _tile_gather(r, nj_c, ni_c):
-    """(2nj_c, 2ni_c, B) -> (nj_c, ni_c, 4B) with (child_j, child_i, mode) cols."""
+def _tile_restrict(r, R4, nj_c, ni_c):
+    """(2nj_c, 2ni_c, B) x (4, B_c, B) -> (nj_c, ni_c, B_c).
+
+    The per-child split of the restriction matrix (host-precomputed) turns
+    the tile gather into a sum of four dots — no last-dim concatenate, which
+    current Mosaic rejects ("result/input offset mismatch on non-concat
+    dimension" on tpu.concatenate of offset-laid-out slices).
+    """
     B = r.shape[-1]
     v = r.reshape(nj_c, 2, ni_c, 2, B)
-    parts = [v[:, b, :, a, :] for b in (0, 1) for a in (0, 1)]
-    return jnp.concatenate(parts, axis=-1)
+    acc = None
+    for k, (b, a) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+        part = jax.lax.dot_general(v[:, b, :, a, :], R4[k],
+                                   (((2,), (1,)), ((), ())),
+                                   preferred_element_type=r.dtype)
+        acc = part if acc is None else acc + part
+    return acc
 
 
-def _tile_scatter(v, nj_c, ni_c):
-    """Inverse of :func:`_tile_gather`."""
-    B = v.shape[-1] // 4
-    ch = [v[:, :, k * B:(k + 1) * B] for k in range(4)]   # (cj, ci) order
+def _tile_prolong(e, P4, nj_c, ni_c):
+    """(nj_c, ni_c, B_c) x (4, B, B_c) -> (2nj_c, 2ni_c, B), child interleave."""
+    B = P4.shape[1]
+    ch = [jax.lax.dot_general(e, P4[k], (((2,), (1,)), ((), ())),
+                              preferred_element_type=e.dtype)
+          for k in range(4)]                              # (cj, ci) order
     rows = []
     for b in (0, 1):
         c0 = ch[b * 2 + 0].reshape(nj_c, ni_c, 1, B)
@@ -89,8 +102,18 @@ class PallasVCycle:
             node = getattr(settings.solver.multigrid, f"{t}_coarsening")
             self._cfg[t] = (int(node.pre_smoother.iterations),
                             int(node.post_smoother.iterations))
-        self.R = [t.R.astype(dtype) for t in transfers]
-        self.P = [t.P.astype(dtype) for t in transfers]
+        # geometric transfers are stored per-child: (4, B_c, B) / (4, B, B_c)
+        self.R, self.P = [], []
+        for t in transfers:
+            if t.kind == "geometric":
+                B = t.R.shape[1] // 4
+                self.R.append(jnp.stack(
+                    [t.R[:, k * B:(k + 1) * B] for k in range(4)]).astype(dtype))
+                self.P.append(jnp.stack(
+                    [t.P[k * B:(k + 1) * B, :] for k in range(4)]).astype(dtype))
+            else:
+                self.R.append(t.R.astype(dtype))
+                self.P.append(t.P.astype(dtype))
         self._fn = None
 
     # ---- value-level cycle (runs inside the kernel) -------------------------
@@ -101,7 +124,7 @@ class PallasVCycle:
         if t.kind == "penalty":
             return r
         if t.kind == "geometric":
-            r = _tile_gather(r, nj_c, ni_c)
+            return _tile_restrict(r, R, nj_c, ni_c)
         return jax.lax.dot_general(r, R, (((2,), (1,)), ((), ())),
                                    preferred_element_type=r.dtype)
 
@@ -110,11 +133,10 @@ class PallasVCycle:
         nj_c, ni_c = self.dims[k]
         if t.kind == "penalty":
             return e
-        v = jax.lax.dot_general(e, P, (((2,), (1,)), ((), ())),
-                                preferred_element_type=e.dtype)
         if t.kind == "geometric":
-            v = _tile_scatter(v, nj_c, ni_c)
-        return v
+            return _tile_prolong(e, P, nj_c, ni_c)
+        return jax.lax.dot_general(e, P, (((2,), (1,)), ((), ())),
+                                   preferred_element_type=e.dtype)
 
     def _coarse_solve(self, consts, rhs, u):
         blocks, Dinv, masks, Rs, Ps, inv6 = consts
@@ -175,6 +197,10 @@ class PallasVCycle:
             in_specs=[vspec] * n_inputs,
             out_specs=vspec,
             interpret=self.interpret,
+            # the whole hierarchy lives in VMEM; the default 16 MiB scoped
+            # limit is marginally exceeded by the unrolled cycle's stack
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
         )
 
         consts = (*self.blocks, *self.Dinv, *self.masks, *self.R, *self.P)

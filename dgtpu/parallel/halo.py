@@ -229,25 +229,29 @@ class ShardedMultigrid:
         def solve_local(blocks, Dinv, colors, coarse_inv, rhs, u0):
             data = (blocks, Dinv, colors, coarse_inv)
             res0 = _pnorm2(rhs - _matvec_with_halo(blocks[-1], u0))
+            hist0 = jnp.full((max_cycles + 1,), jnp.nan, dtype=rhs.dtype)
 
             def cond(state):
-                n, u, res = state
+                n, u, res, hist = state
                 return (n < max_cycles) & (res >= tol) & jnp.isfinite(res)
 
             def body(state):
-                n, u, res = state
+                n, u, res, hist = state
+                hist = hist.at[n].set(res)
                 u = self._v_cycle(n_lev - 1, data, rhs, u)
                 res = _pnorm2(rhs - _matvec_with_halo(blocks[-1], u)) / res0
-                return n + 1, u, res
+                return n + 1, u, res, hist
 
             n0 = jnp.asarray(0, dtype=jnp.int32)
             one = jnp.asarray(1.0, dtype=rhs.dtype)
-            n, u, res = jax.lax.while_loop(cond, body, (n0, u0, one))
-            return u, res, n
+            n, u, res, hist = jax.lax.while_loop(cond, body,
+                                                 (n0, u0, one, hist0))
+            hist = hist.at[n].set(res)
+            return u, res, n, hist
 
         fn = shard_map(solve_local, mesh=mesh,
                        in_specs=data_specs + (spec, spec),
-                       out_specs=(spec, P(), P()),
+                       out_specs=(spec, P(), P(), P()),
                        check_vma=False)
         self._built = jax.jit(fn)
         return self._built
@@ -265,5 +269,7 @@ class ShardedMultigrid:
             u0 = jax.device_put(u0, sh)
             args = (tuple(self.blocks), tuple(self.Dinv), tuple(self.colors),
                     self.coarse_inv)
-            u, res, n = self._built(*args, rhs, u0)
+            u, res, n, hist = self._built(*args, rhs, u0)
+        hist = np.asarray(hist)
+        self.history = [float(r) for r in hist[np.isfinite(hist)]]
         return grid_to_vec(u), float(res), int(n)

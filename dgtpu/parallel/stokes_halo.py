@@ -272,27 +272,31 @@ class ShardedStokesMultigrid:
         def solve_local(datas, coarse_inv, Rs, Ps, f_mom, f_cont, uv0, p0):
             r0m, r0c = _saddle_residual(datas[-1], f_mom, f_cont, uv0, p0)
             res0 = _pnorm_pair(r0m, r0c)
+            hist0 = jnp.full((max_cycles + 1,), jnp.nan, dtype=f_mom.dtype)
 
             def cond(state):
-                n, uv, p, res = state
+                n, uv, p, res, hist = state
                 return (n < max_cycles) & (res >= tol) & jnp.isfinite(res)
 
             def body(state):
-                n, uv, p, res = state
+                n, uv, p, res, hist = state
+                hist = hist.at[n].set(res)
                 uv, p = self._v_cycle(n_lev - 1, datas, coarse_inv, Rs, Ps,
                                       f_mom, f_cont, uv, p)
                 rm, rc = _saddle_residual(datas[-1], f_mom, f_cont, uv, p)
-                return n + 1, uv, p, _pnorm_pair(rm, rc) / res0
+                return n + 1, uv, p, _pnorm_pair(rm, rc) / res0, hist
 
             n0 = jnp.asarray(0, dtype=jnp.int32)
             one = jnp.asarray(1.0, dtype=f_mom.dtype)
-            n, uv, p, res = jax.lax.while_loop(cond, body, (n0, uv0, p0, one))
-            return uv, p, res, n
+            n, uv, p, res, hist = jax.lax.while_loop(
+                cond, body, (n0, uv0, p0, one, hist0))
+            hist = hist.at[n].set(res)
+            return uv, p, res, n, hist
 
         fn = shard_map(solve_local, mesh=mesh,
                        in_specs=(data_specs, P(), Rs_specs, Rs_specs,
                                  spec, spec, spec, spec),
-                       out_specs=(spec, spec, P(), P()),
+                       out_specs=(spec, spec, P(), P(), P()),
                        check_vma=False)
         self._built = jax.jit(fn)
         return self._built
@@ -331,5 +335,8 @@ class ShardedStokesMultigrid:
                           for d in self.data)
             Rs = tuple((r, rp) for r, rp in zip(self.Ruv, self.Rp))
             Ps = tuple((pu, pp) for pu, pp in zip(self.Puv, self.Pp))
-            uv, p, res, n = self._built(datas, self.coarse_inv, Rs, Ps, *args)
+            uv, p, res, n, hist = self._built(datas, self.coarse_inv, Rs, Ps,
+                                              *args)
+        hist = np.asarray(hist)
+        self.history = [float(r) for r in hist[np.isfinite(hist)]]
         return self._join_fields(uv, p), float(res), int(n)

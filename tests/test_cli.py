@@ -84,3 +84,16 @@ def test_cli_diagnostics_flags():
                "--p-solution", "1", "--check-eigenvalues",
                "--check-condition-number", "--silent"])
     assert "cond" in dg.diagnostics
+
+
+def test_cli_profile_flag(tmp_path):
+    """--profile DIR captures a jax.profiler trace around the solve."""
+    from dgtpu.__main__ import main
+    out = str(tmp_path / "trace")
+    dg = main(["-d", "-f", "Rectangle_2X2_nPoly1.xyz", "--p-grid", "1",
+               "--profile", out, "--silent"])
+    assert dg.L2_error_u < 1.0
+    found = []
+    for root, _, files in os.walk(out):
+        found.extend(f for f in files if f.endswith(".xplane.pb"))
+    assert found, f"no trace files under {out}"

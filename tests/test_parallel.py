@@ -149,3 +149,36 @@ def test_sharded_geometric_multigrid(base_settings):
     from dgtpu.solvers.direct import solve_direct
     ud = np.asarray(solve_direct(fine.op, rhs))
     assert np.abs(np.asarray(u) - ud).max() < 1e-4 * np.abs(ud).max()
+
+
+def test_sharded_via_dgfem_api(tmp_path):
+    """The user-facing path: DGFEM(..., shards=4) routes the flagship
+    multigrid config through the sharded solver and reproduces the
+    single-chip MMS error."""
+    from dgtpu.api import DGFEM
+    from dgtpu.settings import Settings, load_params
+
+    def build(n_shards):
+        params = load_params()
+        params["grid"]["filename"] = "Rectangle_8X8_nPoly1.xyz"
+        params["grid"]["polynomial degree"] = 1
+        params["solution"]["u"]["polynomial degree"] = 2
+        params["solver"]["multigrid"]["polynomial coarsening"]["levels"]["u"] = "1,2"
+        params["solver"]["multigrid"]["geometric coarsening"]["enabled"] = True
+        params["solver"]["multigrid"]["geometric coarsening"]["coarsening factors"] = 2
+        params["visualization"]["export"] = False
+        params["visualization"]["automatically open paraview"] = False
+        params["logging"]["loglevel"] = "ERROR"
+        params["caching"]["enabled"] = False
+        s = Settings(params)
+        s.solver.method = "multigrid"
+        s.update_setting("solver.discretization", "dg")
+        dg = DGFEM(settings=s, solve_multigrid=True, shards=n_shards)
+        dg.solve()
+        return dg
+
+    ref = build(None)           # single-chip
+    sh = build(4)               # geometric level Nj=4 over 4 devices
+    assert sh.residuals[-1] < 1e-6
+    assert sh.residuals[0] == pytest.approx(1.0)
+    assert np.isclose(sh.L2_error_u, ref.L2_error_u, rtol=1e-6)
