@@ -70,3 +70,57 @@ def run_convergence_study(grid_sizes=(2, 4, 8), degrees=(1, 2, 3),
     except Exception:
         pass
     return results, rates
+
+
+def run_spectral_radius_study(grid_sizes=(2, 4), degrees=(1, 2), p_grid=1,
+                              grid_kind="rectangle", sigma_multiplier=1,
+                              which="forward", outdir=None):
+    """rho(B) of the block-GS iteration matrix over grids x degrees.
+
+    The reference computes these numbers one run at a time via its
+    ``check_iteration_matrix`` flag (relaxation.py:494-509) and collects
+    them by hand into the thesis dict fed to plot_spectral_radius
+    (visualization.py:586-720); this sweeps and plots in one call.
+    Returns {p: [(n, rho), ...]}.
+    """
+    from dgtpu.diagnostics import spectral_radius_gs
+
+    results = {}
+    for p in degrees:
+        pts = []
+        for n in grid_sizes:
+            params = load_params()
+            prefix = "Rectangle" if grid_kind == "rectangle" else "CircleInCircle"
+            params["grid"]["filename"] = f"{prefix}_{n}X{n}_nPoly{p_grid}.xyz"
+            params["grid"]["polynomial degree"] = p_grid
+            if grid_kind != "rectangle":
+                params["grid"]["O grid"] = True
+            params["solution"]["u"]["polynomial degree"] = p
+            params["problem"]["SIP penalty parameter multiplier"] = sigma_multiplier
+            params["visualization"]["export"] = False
+            params["visualization"]["automatically open paraview"] = False
+            params["logging"]["loglevel"] = "ERROR"
+            s = Settings(params)
+            s.solver.method = "direct"
+            s.update_setting("solver.discretization", "dg")
+            dg = DGFEM(settings=s, solve_direct=True)
+            lvl = dg.levels[-1]
+            A = np.asarray(lvl.op.to_dense())
+            rho = spectral_radius_gs(A, lvl.N_DOF_sol_tot, which=which)
+            pts.append((n, float(rho)))
+        results[p] = pts
+
+    if outdir is None:
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        outdir = os.path.join(repo, "postprocessing", "spectral_radius")
+    os.makedirs(outdir, exist_ok=True)
+    with open(os.path.join(outdir, f"spectral_radius_{grid_kind}.json"), "w") as f:
+        json.dump({str(p): pts for p, pts in results.items()}, f, indent=1)
+    try:
+        from dgtpu.visualization import plot_spectral_radius
+        plot_spectral_radius(results, outdir=outdir,
+                             name=f"spectral_radius_{grid_kind}_sigmamul"
+                                  f"{sigma_multiplier}")
+    except Exception:
+        pass
+    return results

@@ -199,3 +199,36 @@ def plot_basis_1d(p, outdir="postprocessing/plots"):
     fig.savefig(path, dpi=150, bbox_inches="tight")
     plt.close(fig)
     return path
+
+
+def plot_spectral_radius(results, outdir="postprocessing/plots",
+                         name="spectral_radius_Poisson"):
+    """rho(B) of the smoother iteration matrix vs grid size, per degree.
+
+    Mirrors the reference's thesis figure (visualization.py:586-720): a
+    rho=1 stability line plus one marked curve per polynomial degree;
+    ``results`` is {p: [(n, rho), ...]}.
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(dpi=150)
+    grids = sorted({n for pts in results.values() for n, _ in pts})
+    ax.semilogy(grids, np.ones(len(grids)), "-k", label=r"$\rho(B)=1$")
+    markers = ["o", "s", "^", "D", "v", "*"]
+    for i, (p, pts) in enumerate(sorted(results.items())):
+        ns = [n for n, _ in sorted(pts)]
+        rhos = [r for _, r in sorted(pts)]
+        ax.semilogy(ns, rhos, "--k", marker=markers[i % len(markers)],
+                    label=f"p={p}")
+    ax.set_xticks(grids)
+    ax.set_xticklabels([f"{n}X{n}" for n in grids])
+    ax.set_xlabel("grid")
+    ax.set_ylabel(r"$\rho(B)$")
+    ax.legend()
+    out = _outdir(outdir)
+    path = os.path.join(out, f"{name}.svg")
+    fig.savefig(path, bbox_inches="tight")
+    plt.close(fig)
+    return path

@@ -182,3 +182,56 @@ def test_sharded_via_dgfem_api(tmp_path):
     assert sh.residuals[-1] < 1e-6
     assert sh.residuals[0] == pytest.approx(1.0)
     assert np.isclose(sh.L2_error_u, ref.L2_error_u, rtol=1e-6)
+
+
+def test_sharded_multigrid_annulus_ogrid(base_settings):
+    """Curvilinear O-grid sharded multigrid: the periodic i-wrap is an
+    intra-shard roll, so the annulus needs no extra communication."""
+    s = base_settings
+    s.update_setting("grid.O_grid", True)
+    s.update_setting("grid.polynomial_degree", 2)
+    geom = Geometry(os.path.join(INPUT_DIR, "CircleInCircle_8X8_nPoly2.xyz"), s)
+    mms = ManufacturedSolution({"u": "sin(pi*x)*sin(pi*y)"}, "Poisson", 1.0)
+    fine = GridLevel(geom, s, ["u"], {"u": 2}, sigma=18.0)
+    coarse = GridLevel(geom, s, ["u"], {"u": 1}, sigma=8.0)
+    assert fine.O_grid  # the periodic wrap is actually active
+    fine.op, rhs, _ = assemble_poisson(fine, mms)
+    coarse.op, _, _ = assemble_poisson(coarse)
+    t = make_transfer("polynomial", p_fine=2, p_coarse=1)
+    mg = ShardedMultigrid([coarse, fine], [t], s, mesh=make_mesh(8))
+    u, res, n = mg.solve(rhs)
+    assert res < 1e-6
+    from dgtpu.solvers.direct import solve_direct
+    ud = np.asarray(solve_direct(fine.op, rhs))
+    assert np.abs(np.asarray(u) - ud).max() < 1e-4 * np.abs(ud).max()
+
+
+def test_sharded_stokes_via_dgfem_api():
+    """DGFEM(..., shards=4) routes Stokes p-multigrid through the sharded
+    distributive-GS solver."""
+    from dgtpu.api import DGFEM
+    from dgtpu.settings import Settings, load_params
+
+    params = load_params()
+    params["problem"]["type"] = "Stokes"
+    params["grid"]["filename"] = "Rectangle_4X4_nPoly2.xyz"
+    params["grid"]["polynomial degree"] = 2
+    params["solution"]["u"]["polynomial degree"] = 2
+    params["solution"]["p"]["polynomial degree"] = 1
+    params["solution"]["ordering"] = "global"
+    params["solver"]["multigrid"]["penalty parameter coarsening"]["enabled"] = False
+    params["solver"]["multigrid"]["polynomial coarsening"]["enabled"] = True
+    params["solver"]["multigrid"]["polynomial coarsening"]["levels"]["u"] = "1,2"
+    params["solver"]["multigrid"]["geometric coarsening"]["enabled"] = False
+    params["solver"]["multigrid"]["coarse grid solver"] = "direct"
+    params["visualization"]["export"] = False
+    params["visualization"]["automatically open paraview"] = False
+    params["logging"]["loglevel"] = "ERROR"
+    params["caching"]["enabled"] = False
+    s = Settings(params)
+    s.solver.method = "multigrid"
+    s.update_setting("solver.discretization", "dg")
+    dg = DGFEM(settings=s, solve_multigrid=True, shards=4)
+    dg.solve()
+    assert dg.residuals[-1] < 1e-6
+    assert dg.L2_error_u < 0.2  # default trig MMS on a coarse grid
