@@ -23,7 +23,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--dtype", default="float32", choices=["float32", "float64"])
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "float64", "bfloat16"],
+                    help="bfloat16 = bf16 stencil blocks with f32 vectors/"
+                         "diag-inverses (halves the HBM-bound operator "
+                         "traffic; accuracy recovered by refinement)")
     ap.add_argument("--reps", type=int, default=200)
     ap.add_argument("--backend", default=None)
     ap.add_argument("--no-pallas", action="store_true")
@@ -45,7 +49,12 @@ def main():
 
     from dgtpu.utils.device import setup_scope
     dg = _flagship(n=args.grid_n, p_grid=args.p, p_sol=args.p)
-    dtype = jnp.float32 if args.dtype == "float32" else jnp.float64
+    # block_dtype: the big stencil arrays; vec_dtype: vectors, diag inverses,
+    # transfers, coarse inverse.  bfloat16 mode keeps the solve in f32 and
+    # only narrows the HBM-dominant operator blocks.
+    block_dtype = {"float32": jnp.float32, "float64": jnp.float64,
+                   "bfloat16": jnp.bfloat16}[args.dtype]
+    dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
     target = jax.devices()[0]
 
     with setup_scope():
@@ -58,7 +67,8 @@ def main():
         assert float(res64) < 1e-6, f"correctness gate failed: {float(res64)}"
 
         # fast-path operators (cast on host)
-        ops = [StencilOperator(l.op.blocks.astype(dtype), l.op.nbr, l.op.mask)
+        ops = [StencilOperator(l.op.blocks.astype(block_dtype), l.op.nbr,
+                               l.op.mask)
                for l in dg.levels]
 
         class _T:
@@ -158,8 +168,8 @@ def main():
     from dgtpu.solvers.refinement import make_refined_solver
     op64 = jax.device_put(dg.levels[-1].op, target)
     rhs64 = jax.device_put(rhs64, target)
-    cyc32 = (lambda r, u: mg.v_cycle(n_lev, r, u)) if args.dtype == "float32" \
-        else None
+    cyc32 = (lambda r, u: mg.v_cycle(n_lev, r, u)) \
+        if args.dtype != "float64" else None
     t_refine = None
     res_r = n_r = None
     if cyc32 is not None:
