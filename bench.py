@@ -99,6 +99,8 @@ def main():
     if mg.coarse_inv is not None:
         mg.coarse_inv = jax.device_put(mg.coarse_inv, target)
     mg.colors = [jax.device_put(c, target) for c in mg.colors]
+    mg.packs = [p.to_device(target) if p is not None else None
+                for p in mg.packs]
     n_lev = len(ops)
     rhs = jax.device_put(rhs, target)
 

@@ -89,6 +89,57 @@ def _gs_sweep_colored(op, rhs, u, Dinv, omega, colors):
     return u.reshape(-1)
 
 
+class ColorPack:
+    """Per-color packed off-diagonal blocks for red-black sweeps.
+
+    ``_gs_sweep_colored`` reads the full (N, 5) stencil and where-selects
+    half the rows away — per sweep that is 2 full passes over the operator.
+    Packing each color's rows once at setup (idx_c, 4 off-diag slots) cuts
+    the block traffic per color pass to ~1/2.5 of the full stencil, with
+    bit-identical update math (neighbors are gathered from the same
+    pre-update vector either way).
+    """
+
+    def __init__(self, op, colors):
+        import numpy as np
+        blocks = np.asarray(op.blocks)
+        mask = np.asarray(op.mask)
+        nbr = np.asarray(op.nbr)
+        cols = np.asarray(colors)
+        self.idx, self.off_blocks, self.off_nbr = [], [], []
+        for c in (0, 1):
+            idx = np.nonzero(cols == c)[0]
+            self.idx.append(jnp.asarray(idx, dtype=jnp.int32))
+            ob = np.where(mask[idx][:, 1:, None, None], blocks[idx][:, 1:], 0.0)
+            self.off_blocks.append(jnp.asarray(ob, dtype=blocks.dtype))
+            self.off_nbr.append(jnp.asarray(nbr[idx][:, 1:], dtype=jnp.int32))
+
+    def to_device(self, device):
+        self.idx = [jax.device_put(x, device) for x in self.idx]
+        self.off_blocks = [jax.device_put(x, device) for x in self.off_blocks]
+        self.off_nbr = [jax.device_put(x, device) for x in self.off_nbr]
+        return self
+
+    def astype(self, dtype):
+        self.off_blocks = [b.astype(dtype) for b in self.off_blocks]
+        return self
+
+
+def _gs_sweep_packed(op, rhs, u, Dinv, omega, pack):
+    """Red-black sweep over color-packed blocks (same math, less traffic)."""
+    n, _, br, bc = op.blocks.shape
+    rhs2 = rhs.reshape(n, br)
+    u = u.reshape(n, bc)
+    for c in (0, 1):
+        idx = pack.idx[c]
+        u_nbr = u[pack.off_nbr[c]]                      # (nc, 4, bc)
+        off = jnp.einsum("nsij,nsj->ni", pack.off_blocks[c], u_nbr)
+        unew = jnp.einsum("nij,nj->ni", Dinv[idx], rhs2[idx] - off)
+        unew = omega * unew + (1 - omega) * u[idx]
+        u = u.at[idx].set(unew)
+    return u.reshape(-1)
+
+
 def element_colors(Ni, Nj):
     """Checkerboard coloring of the element grid (m = j*Ni + i)."""
     m = jnp.arange(Ni * Nj)
@@ -97,7 +148,7 @@ def element_colors(Ni, Nj):
 
 
 def block_gauss_seidel(op, rhs, u, direction="symmetric", omega=1.0, iterations=1,
-                       Dinv=None, strategy="sequential", colors=None):
+                       Dinv=None, strategy="sequential", colors=None, pack=None):
     """Block Gauss-Seidel with pyamg sweep semantics.
 
     ``direction``: 'forward' | 'backward' | 'symmetric' (forward then backward
@@ -107,17 +158,17 @@ def block_gauss_seidel(op, rhs, u, direction="symmetric", omega=1.0, iterations=
         Dinv = block_diag_inv(op)
 
     if strategy == "redblack":
-        if colors is None:
+        if colors is None and pack is None:
             raise ValueError("redblack strategy needs element colors")
-
-        def one_iter(_, u):
-            return _gs_sweep_colored(op, rhs, u, Dinv, omega, colors)
         # direction is immaterial for colored sweeps; symmetric does 2 passes
         n_pass = 2 if direction == "symmetric" else 1
 
         def body(_, u):
             for _ in range(n_pass):
-                u = _gs_sweep_colored(op, rhs, u, Dinv, omega, colors)
+                if pack is not None:
+                    u = _gs_sweep_packed(op, rhs, u, Dinv, omega, pack)
+                else:
+                    u = _gs_sweep_colored(op, rhs, u, Dinv, omega, colors)
             return u
         return jax.lax.fori_loop(0, iterations, body, u.reshape(-1))
 
@@ -159,7 +210,8 @@ def normalize_smoother_name(name):
 
 
 def apply_smoother(name, op, rhs, u, direction="symmetric", omega=1.0,
-                   iterations=1, Dinv=None, strategy="sequential", colors=None):
+                   iterations=1, Dinv=None, strategy="sequential", colors=None,
+                   pack=None):
     """Dispatch a reference smoother string onto the TPU kernels."""
     kind = SMOOTHER_ALIASES[normalize_smoother_name(name)]
     iterations = int(iterations)
@@ -168,9 +220,9 @@ def apply_smoother(name, op, rhs, u, direction="symmetric", omega=1.0,
     if kind == "gs":
         return block_gauss_seidel(op, rhs, u, direction=direction, omega=omega,
                                   iterations=iterations, Dinv=Dinv,
-                                  strategy=strategy, colors=colors)
+                                  strategy=strategy, colors=colors, pack=pack)
     if kind == "gs_rb":
         return block_gauss_seidel(op, rhs, u, direction=direction, omega=omega,
                                   iterations=iterations, Dinv=Dinv,
-                                  strategy="redblack", colors=colors)
+                                  strategy="redblack", colors=colors, pack=pack)
     raise ValueError(f"Smoother {name!r} requires the Stokes distributive driver")

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from dgtpu.ops.linalg import host_lu_inverse
-from dgtpu.ops.smoothers import (apply_smoother, block_diag_inv,
+from dgtpu.ops.smoothers import (ColorPack, apply_smoother, block_diag_inv,
                                  element_colors, normalize_smoother_name)
 from dgtpu.utils.norms import lp_norm
 
@@ -55,6 +55,11 @@ class MultigridSolver:
         self.strategy = getattr(getattr(settings, "performance", None),
                                 "smoother_parallelization", "sequential")
         self.colors = colors or [None] * len(ops)
+        # color-packed off-diag blocks: ~2.5x less smoother block traffic
+        self.packs = [ColorPack(op, c)
+                      if (self.strategy == "redblack" and c is not None
+                          and hasattr(op, "blocks")) else None
+                      for op, c in zip(ops, self.colors)]
         # distributive-GS smoother state per level (Stokes global order);
         # built lazily when a level config names it
         self._dgs = {}
@@ -105,7 +110,8 @@ class MultigridSolver:
                               direction=cfg.direction, omega=cfg.omega,
                               iterations=iterations or cfg.iterations,
                               Dinv=self.Dinv[k],
-                              strategy=self.strategy, colors=self.colors[k])
+                              strategy=self.strategy, colors=self.colors[k],
+                              pack=self.packs[k])
 
     def v_cycle(self, k, rhs, u):
         """Level index k = number of levels in this sub-hierarchy (as in solver.py:141)."""

@@ -153,3 +153,30 @@ def test_geometric_tile_reshape_roundtrip():
     fine = t.prolong(jnp.asarray(u_c))
     back = t.restrict(fine)
     assert np.abs(np.asarray(back) - u_c).max() < 1e-13
+
+
+def test_packed_colored_sweep_matches_masked(base_settings):
+    """ColorPack red-black sweep is bit-identical to the where-masked sweep."""
+    import jax.numpy as jnp
+    from dgtpu.geometry import Geometry
+    from dgtpu.level import GridLevel
+    from dgtpu.mms import ManufacturedSolution
+    from dgtpu.models.poisson import assemble_poisson
+    from dgtpu.ops.smoothers import (ColorPack, _gs_sweep_colored,
+                                     _gs_sweep_packed, block_diag_inv,
+                                     element_colors)
+
+    base_settings.update_setting("grid.polynomial_degree", 1)
+    geom = Geometry(os.path.join(INPUT_DIR, "Rectangle_4X4_nPoly1.xyz"),
+                    base_settings)
+    lvl = GridLevel(geom, base_settings, ["u"], {"u": 2})
+    mms = ManufacturedSolution({"u": "sin(pi*x)*sin(pi*y)"}, "Poisson", 1.0)
+    lvl.op, rhs, _ = assemble_poisson(lvl, mms)
+    Dinv = block_diag_inv(lvl.op)
+    colors = element_colors(lvl.Ni, lvl.Nj)
+    pack = ColorPack(lvl.op, colors)
+    rng = np.random.default_rng(3)
+    u0 = jnp.asarray(rng.standard_normal(rhs.shape[0]))
+    u_masked = _gs_sweep_colored(lvl.op, rhs, u0, Dinv, 1.0, colors)
+    u_packed = _gs_sweep_packed(lvl.op, rhs, u0, Dinv, 1.0, pack)
+    assert np.array_equal(np.asarray(u_masked), np.asarray(u_packed))
