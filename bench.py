@@ -186,6 +186,8 @@ def main():
                 refined(rhs64, jnp.zeros_like(rhs64)))
             t_refine = (time.perf_counter() - t0) * 1e3
             assert float(res_r) < 1e-10, float(res_r)
+        except AssertionError:
+            raise  # a real accuracy regression must fail the bench
         except Exception as e:
             print(f"# refinement stage failed: {type(e).__name__}: {e}",
                   file=sys.stderr)

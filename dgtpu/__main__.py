@@ -49,9 +49,10 @@ def build_parser():
     parser.add_argument("--silent", action="store_true")
     # dgtpu extensions
     parser.add_argument("--shards", type=int, default=None,
-                        help="shard multigrid over N devices (element-row "
-                             "domain decomposition; new capability, no "
-                             "reference equivalent)")
+                        help="shard the MULTIGRID solve over N devices "
+                             "(element-row domain decomposition; ignored "
+                             "with a warning for other solvers; new "
+                             "capability, no reference equivalent)")
     parser.add_argument("--profile", type=str, default=None, metavar="DIR",
                         help="capture a jax.profiler trace of the solve into "
                              "DIR (inspect with TensorBoard/xprof)")

@@ -281,6 +281,11 @@ class DGFEM:
         method = s.solver.method
         finest = self.levels[-1]
         self.logger.debug(f"Solving with {method} method ...")
+        if method != "multigrid" and int(getattr(
+                getattr(s, "performance", None), "n_shards", 1) or 1) > 1:
+            self.logger.warning(
+                "performance.n_shards only applies to the multigrid solver; "
+                f"running {method} single-device")
 
         # move operator pytrees to the accelerator; setup stayed on host CPU
         from dgtpu.utils.device import (default_compute_device, put_transfer,
@@ -358,14 +363,34 @@ class DGFEM:
                 "count=N for a virtual CPU mesh)")
         mesh = make_mesh(n_shards)
         finest = self.levels[-1]
+        # honor the configured pre/post iteration counts (taken from the
+        # finest gap's coarsening type, like the per-level configs in
+        # MultigridSolver); smoother *kind*, relaxation factor and coarse
+        # solver are fixed in sharded mode — warn when they would differ
+        mgs = self.settings.solver.multigrid
+        ttype = self.transfer_types[-1] if self.transfer_types else "polynomial"
+        node = getattr(mgs, f"{ttype}_coarsening")
+        pre = int(node.pre_smoother.iterations)
+        post = int(node.post_smoother.iterations)
+        fixed = []
+        if float(node.pre_smoother.relaxation_factor) != 1.0 or \
+                float(node.post_smoother.relaxation_factor) != 1.0:
+            fixed.append("relaxation factor (uses 1.0)")
+        if mgs.coarse_grid_solver != "direct":
+            fixed.append("coarse grid solver (uses replicated direct)")
+        if fixed:
+            self.logger.warning(
+                "sharded multigrid ignores: " + "; ".join(fixed))
         if self.vars == ["u", "p"]:
             from dgtpu.parallel.stokes_halo import ShardedStokesMultigrid
             self.mg = ShardedStokesMultigrid(self.levels, self.settings,
-                                             mesh=mesh)
+                                             mesh=mesh, pre_iters=pre,
+                                             post_iters=post)
         else:
             from dgtpu.parallel.halo import ShardedMultigrid
             self.mg = ShardedMultigrid(self.levels, self.transfers,
-                                       self.settings, mesh=mesh)
+                                       self.settings, mesh=mesh,
+                                       pre_iters=pre, post_iters=post)
         self.logger.info(f"sharded multigrid over {n_shards} devices "
                          f"({mesh.devices.ravel()[0].platform})")
         return self.mg.solve(finest.rhs)

@@ -40,26 +40,14 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from dgtpu.parallel.halo import (AXIS, _halo_exchange, _local_matvec,
-                                 make_mesh, _pnorm2)
+from dgtpu.parallel.halo import (AXIS, _local_offdiag,
+                                 _matvec_with_halo as _matvec,
+                                 make_mesh, reshape_level)
 from dgtpu.ops.transfer import p_restriction
 
 # stencil slot order [self, iL, iR, jL, jR]; mirror(s) = slot of e as seen
 # from its s-neighbor
 _MIRROR = np.array([0, 2, 1, 4, 3])
-
-
-def _matvec(blocks, x):
-    """Stencil matvec with halo exchange; blocks (Nj, Ni, 5, r, c), x (Nj, Ni, c)."""
-    up, down = _halo_exchange(x)
-    return _local_matvec(blocks, x, up, down)
-
-
-def _reshape_stencil(op, Ni, Nj):
-    n, s, br, bc = op.blocks.shape
-    assert n == Ni * Nj and s == 5
-    return jnp.where(op.mask[:, :, None, None], op.blocks, 0.0).reshape(
-        Nj, Ni, 5, br, bc)
 
 
 def _dg_diag_blocks(D_op, G_op):
@@ -93,9 +81,10 @@ class _LevelData:
         self.nu = level.N_DOF_sol["u"]
         self.npd = level.N_DOF_sol["p"]
         Ni, Nj = self.Ni, self.Nj
-        self.A = _reshape_stencil(level.block_A, Ni, Nj)
-        self.D = _reshape_stencil(level.block_D, Ni, Nj)
-        self.G = _reshape_stencil(level.block_G, Ni, Nj)
+        # block_A/D/G arrive masked from assemble_stokes (_mask_blocks)
+        self.A = reshape_level(level.block_A, Ni, Nj)
+        self.D = reshape_level(level.block_D, Ni, Nj)
+        self.G = reshape_level(level.block_G, Ni, Nj)
         self.A_Dinv = host_inv(self.A[:, :, 0])
         dg_diag = _dg_diag_blocks(level.block_D, level.block_G)
         self.DG_diag = jnp.asarray(dg_diag).reshape(Nj, Ni, self.npd, self.npd)
@@ -116,7 +105,7 @@ def _rb_bgs_A(A, A_Dinv, colors, rhs, x, n_pass):
     """Red-black block-GS passes on the velocity operator A."""
     for _ in range(n_pass):
         for c in (0, 1):
-            off = _matvec(A, x) - jnp.einsum("jiab,jib->jia", A[:, :, 0], x)
+            off = _local_offdiag(A, x)
             xn = jnp.einsum("jiab,jib->jia", A_Dinv, rhs - off)
             x = jnp.where((colors == c)[:, :, None], xn, x)
     return x
