@@ -114,6 +114,69 @@ def _rb_gs_sweep(blocks, Dinv, rhs, u, colors, n_pass=2):
     return u
 
 
+class ShardColorPack:
+    """Per-color packed off-diagonal data for the sharded red-black sweep.
+
+    Counterpart of ``ops.smoothers.ColorPack``: each color pass reads only
+    its own rows' off-diagonal blocks (~1/2.5 of the stencil traffic) with
+    the same update math.  Requires an even number of element rows per
+    shard so the local checkerboard pattern is identical on every shard —
+    then the index sets are shard-invariant compile-time constants and only
+    the packed blocks/Dinv arrays are sharded (leading dim in shard order).
+    """
+
+    def __init__(self, blocks, Dinv, nj_loc, Ni):
+        import numpy as np
+        blocks = np.asarray(blocks)          # (Nj, Ni, 5, B, B), host
+        Dinv = np.asarray(Dinv)
+        Nj = blocks.shape[0]
+        n_dev = Nj // nj_loc
+        B = blocks.shape[-1]
+        lj, li = np.meshgrid(np.arange(nj_loc), np.arange(Ni), indexing="ij")
+        local_color = (lj + li) % 2          # same on every shard (nj_loc even)
+        b6 = blocks.reshape(n_dev, nj_loc, Ni, 5, B, B)
+        d6 = Dinv.reshape(n_dev, nj_loc, Ni, B, B)
+        self.idx, self.off_nbr, self.off_blocks, self.Dinv = [], [], [], []
+        ext_ni = Ni                           # u_ext rows: [halo_up, u..., halo_down]
+        for c in (0, 1):
+            sel = local_color == c
+            ljc, lic = lj[sel], li[sel]
+            # flat index into the local (nj_loc, Ni) grid
+            self.idx.append(jnp.asarray(ljc * Ni + lic, dtype=jnp.int32))
+            # neighbor flat indices into the (nj_loc + 2, Ni) extended grid
+            # (row 0 = halo_up, row nj_loc + 1 = halo_down); i wraps like the
+            # roll-based matvec (wrapped blocks are zero on Dirichlet grids)
+            iL = (ljc + 1) * ext_ni + (lic - 1) % Ni
+            iR = (ljc + 1) * ext_ni + (lic + 1) % Ni
+            jL = ljc * ext_ni + lic
+            jR = (ljc + 2) * ext_ni + lic
+            self.off_nbr.append(jnp.asarray(
+                np.stack([iL, iR, jL, jR], axis=1), dtype=jnp.int32))
+            ob = b6[:, ljc, lic, 1:]          # (n_dev, nc, 4, B, B)
+            self.off_blocks.append(jnp.asarray(ob.reshape(-1, 4, B, B)))
+            self.Dinv.append(jnp.asarray(
+                d6[:, ljc, lic].reshape(-1, B, B)))
+
+    def tree(self):
+        return (tuple(self.off_blocks), tuple(self.Dinv))
+
+
+def _rb_gs_sweep_packed(pack_consts, off_blocks, Dinv_c, rhs, u, n_pass=2):
+    """Color-packed sharded sweep; halos refreshed before each color pass."""
+    idx, off_nbr = pack_consts
+    nj_loc, ni, B = u.shape
+    rhs_flat = rhs.reshape(-1, B)
+    for _ in range(n_pass):
+        for c in (0, 1):
+            up, down = _halo_exchange(u)
+            u_ext = jnp.concatenate([up[None], u, down[None]], axis=0)
+            u_nbr = u_ext.reshape(-1, B)[off_nbr[c]]       # (nc, 4, B)
+            off = jnp.einsum("nsab,nsb->na", off_blocks[c], u_nbr)
+            unew = jnp.einsum("nab,nb->na", Dinv_c[c], rhs_flat[idx[c]] - off)
+            u = u.reshape(-1, B).at[idx[c]].set(unew).reshape(nj_loc, ni, B)
+    return u
+
+
 def _block_jacobi_sweep(blocks, Dinv, rhs, u, omega=0.8):
     off = _local_offdiag(blocks, u)
     unew = jnp.einsum("jiab,jib->jia", Dinv, rhs - off)
@@ -159,6 +222,16 @@ class ShardedMultigrid:
                        for l, (ni, nj) in zip(levels, self.dims)]
         from dgtpu.ops.linalg import host_inv
         self.Dinv = [host_inv(b[:, :, 0]) for b in self.blocks]
+        # color-packed sweeps (possible when the local band has an even
+        # number of rows so the checkerboard is shard-invariant)
+        self.pack_host = []
+        for (ni, nj), b, d in zip(self.dims, self.blocks, self.Dinv):
+            nj_loc = nj // n_dev
+            self.pack_host.append(ShardColorPack(b, d, nj_loc, ni)
+                                  if nj_loc % 2 == 0 else None)
+        self._pack_consts = [(tuple(p.idx), tuple(p.off_nbr))
+                             if p is not None else None
+                             for p in self.pack_host]
         self.R = [t.R for t in transfers]
         self.Pr = [t.P for t in transfers]
         from dgtpu.ops.linalg import host_lu_inverse
@@ -194,8 +267,17 @@ class ShardedMultigrid:
             return v.reshape(njc_loc * cf, nic * cf, B)
         return v
 
+    def _smooth(self, k, data, rhs, u, n_pass):
+        blocks, Dinv, colors, coarse_inv, packs = data
+        pc = self._pack_consts[k]
+        if pc is not None:
+            return _rb_gs_sweep_packed(pc, packs[k][0], packs[k][1],
+                                       rhs, u, n_pass=n_pass)
+        return _rb_gs_sweep(blocks[k], Dinv[k], rhs, u, colors[k],
+                            n_pass=n_pass)
+
     def _v_cycle(self, k, data, rhs, u):
-        blocks, Dinv, colors, coarse_inv = data
+        blocks, Dinv, colors, coarse_inv, packs = data
         if k == 0:
             # replicated coarse solve: gather the full coarse residual
             r_full = jax.lax.all_gather(rhs, AXIS, axis=0, tiled=True)
@@ -204,15 +286,12 @@ class ShardedMultigrid:
             idx = jax.lax.axis_index(AXIS)
             nj_loc = rhs.shape[0]
             return jax.lax.dynamic_slice_in_dim(e_full, idx * nj_loc, nj_loc, 0)
-        b = blocks[k]
-        u = _rb_gs_sweep(b, Dinv[k], rhs, u, colors[k],
-                         n_pass=2 * self.pre_iters)
-        r = rhs - _matvec_with_halo(b, u)
+        u = self._smooth(k, data, rhs, u, 2 * self.pre_iters)
+        r = rhs - _matvec_with_halo(blocks[k], u)
         r_c = self._restrict(k, r)
         e_c = self._v_cycle(k - 1, data, r_c, jnp.zeros_like(r_c))
         u = u + self._prolong(k, e_c)
-        u = _rb_gs_sweep(b, Dinv[k], rhs, u, colors[k],
-                         n_pass=2 * self.post_iters)
+        u = self._smooth(k, data, rhs, u, 2 * self.post_iters)
         return u
 
     def build(self):
@@ -221,13 +300,17 @@ class ShardedMultigrid:
         mesh = self.mesh
         n_lev = len(self.levels)
         spec = P(AXIS)
+        pack_specs = tuple(
+            (tuple(P(AXIS) for _ in p.off_blocks),
+             tuple(P(AXIS) for _ in p.Dinv)) if p is not None else ((), ())
+            for p in self.pack_host)
         data_specs = (tuple(P(AXIS) for _ in self.blocks),
                       tuple(P(AXIS) for _ in self.Dinv),
-                      tuple(P(AXIS) for _ in self.colors), P())
+                      tuple(P(AXIS) for _ in self.colors), P(), pack_specs)
         tol, max_cycles = self.tol, self.max_cycles
 
-        def solve_local(blocks, Dinv, colors, coarse_inv, rhs, u0):
-            data = (blocks, Dinv, colors, coarse_inv)
+        def solve_local(blocks, Dinv, colors, coarse_inv, packs, rhs, u0):
+            data = (blocks, Dinv, colors, coarse_inv, packs)
             res0 = _pnorm2(rhs - _matvec_with_halo(blocks[-1], u0))
             hist0 = jnp.full((max_cycles + 1,), jnp.nan, dtype=rhs.dtype)
 
@@ -267,8 +350,10 @@ class ShardedMultigrid:
             sh = NamedSharding(self.mesh, P(AXIS))
             rhs = jax.device_put(rhs, sh)
             u0 = jax.device_put(u0, sh)
+            packs = tuple(p.tree() if p is not None else ((), ())
+                          for p in self.pack_host)
             args = (tuple(self.blocks), tuple(self.Dinv), tuple(self.colors),
-                    self.coarse_inv)
+                    self.coarse_inv, packs)
             u, res, n, hist = self._built(*args, rhs, u0)
         hist = np.asarray(hist)
         self.history = [float(r) for r in hist[np.isfinite(hist)]]
