@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--reps", type=int, default=200)
     ap.add_argument("--backend", default=None)
     ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--pallas-max-n", type=int, default=8,
+                    help="largest grid-n for the fused Pallas kernel "
+                         "(Mosaic compile time explodes beyond the default)")
     ap.add_argument("--grid-n", type=int, default=8,
                     help="elements per direction (8 = BASELINE flagship)")
     ap.add_argument("--p", type=int, default=5, help="solution degree")
@@ -135,11 +138,11 @@ def main():
                 return jax.lax.fori_loop(0, n, body, u)
             rolled_fn = (rolled_one, rolled_many)
             # the fused Pallas kernel is a VMEM-resident flagship-scale
-            # design; its statically unrolled coarse solve makes Mosaic
-            # compile time explode on larger grids — gate it to the
-            # flagship size (larger grids use the generic XLA path)
+            # design; its statically unrolled cycle makes Mosaic compile
+            # time explode on larger grids — gate it by size (larger grids
+            # use the generic XLA path)
             if (jax.default_backend() == "tpu" and not args.no_pallas
-                    and args.grid_n <= 8):
+                    and args.grid_n <= args.pallas_max_n):
                 pallas_one = pv.build()
 
                 @jax.jit

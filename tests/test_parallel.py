@@ -235,3 +235,50 @@ def test_sharded_stokes_via_dgfem_api():
     dg.solve()
     assert dg.residuals[-1] < 1e-6
     assert dg.L2_error_u < 0.2  # default trig MMS on a coarse grid
+
+
+def test_shard_color_pack_matches_masked_sweep(base_settings):
+    """The packed sharded sweep matches the masked sweep to rounding.
+
+    (Not bit-exact: the masked path sums the four neighbor einsums
+    sequentially while the pack contracts one stacked (4,B,B) einsum —
+    a different f64 summation order, ~1 ulp.)"""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from dgtpu.ops.linalg import host_inv
+    from dgtpu.parallel.halo import (ShardColorPack, _rb_gs_sweep,
+                                     _rb_gs_sweep_packed)
+
+    lvl, rhs = _setup(base_settings)
+    B = lvl.N_DOF_sol_tot
+    blocks = reshape_level(lvl.op, lvl.Ni, lvl.Nj)
+    Dinv = host_inv(blocks[:, :, 0])
+    i = jnp.arange(lvl.Ni)[None, :]
+    j = jnp.arange(lvl.Nj)[:, None]
+    colors = ((i + j) % 2).astype(jnp.int32)
+    n_dev = 4                                  # nj_loc = 2 (even -> packable)
+    pack = ShardColorPack(blocks, Dinv, lvl.Nj // n_dev, lvl.Ni)
+    pc = (tuple(pack.idx), tuple(pack.off_nbr))
+
+    rng = np.random.default_rng(7)
+    u0 = jnp.asarray(rng.standard_normal((lvl.Nj, lvl.Ni, B)))
+    rhs_g = vec_to_grid(rhs, lvl.Ni, lvl.Nj, B)
+
+    mesh = make_mesh(n_dev)
+    spec = P(AXIS)
+    masked = jax.shard_map(
+        lambda b, d, c, r, u: _rb_gs_sweep(b, d, r, u, c, n_pass=2),
+        mesh=mesh, in_specs=(spec,) * 5, out_specs=spec, check_vma=False)
+    packed = jax.shard_map(
+        lambda ob0, ob1, d0, d1, r, u: _rb_gs_sweep_packed(
+            pc, (ob0, ob1), (d0, d1), r, u, n_pass=2),
+        mesh=mesh, in_specs=(spec,) * 6, out_specs=spec, check_vma=False)
+    with mesh:
+        sh = NamedSharding(mesh, spec)
+        put = lambda x: jax.device_put(x, sh)
+        um = jax.jit(masked)(put(blocks), put(Dinv), put(colors),
+                             put(rhs_g), put(u0))
+        up = jax.jit(packed)(put(pack.off_blocks[0]), put(pack.off_blocks[1]),
+                             put(pack.Dinv[0]), put(pack.Dinv[1]),
+                             put(rhs_g), put(u0))
+    um, up = np.asarray(um), np.asarray(up)
+    assert np.abs(um - up).max() < 1e-13 * max(np.abs(um).max(), 1.0)
