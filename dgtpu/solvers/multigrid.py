@@ -67,6 +67,12 @@ class MultigridSolver:
         self.Dinv = [block_diag_inv(op) if hasattr(op, "blocks") else None
                      for op in ops]
         self.coarse_solver = settings.solver.multigrid.coarse_grid_solver
+        # V (reference behavior) or W (each coarse sub-hierarchy visited
+        # twice) — a dgtpu extension, the reference only implements V
+        self.cycle_type = str(getattr(settings.solver.multigrid,
+                                      "cycle_type", "V")).upper()
+        if self.cycle_type not in ("V", "W"):
+            raise ValueError(f"cycle type must be V or W, got {self.cycle_type}")
         if self.coarse_solver in ("direct", "amg"):
             coarse = ops[0]
             # a Stokes saddle operator needs its pressure pin to be invertible
@@ -121,6 +127,8 @@ class MultigridSolver:
             residual = rhs - self.ops[k - 1].matvec(u)
             rhs_coarse = self.transfers[k - 2].restrict(residual)
             u_coarse = self.v_cycle(k - 1, rhs_coarse, jnp.zeros_like(rhs_coarse))
+            if self.cycle_type == "W" and k - 1 > 1:
+                u_coarse = self.v_cycle(k - 1, rhs_coarse, u_coarse)
             u = u + self.transfers[k - 2].prolong(u_coarse)
             u = self._smooth(post, k - 1, rhs, u)
         else:

@@ -150,3 +150,31 @@ def test_residual_history_saved():
     hist = np.load(os.path.join(path, sorted(files)[0]))
     assert hist[0] == pytest.approx(1.0)
     assert hist[-1] < 1e-6
+
+
+def test_w_cycle_converges_in_fewer_cycles():
+    """W-cycles (dgtpu extension; reference is V-only) converge at least as
+    fast per cycle as V on the flagship hierarchy."""
+    import copy
+    from dgtpu.api import DGFEM
+    from dgtpu.settings import Settings, load_params
+
+    def run(cycle):
+        params = load_params()
+        params["grid"]["filename"] = "Rectangle_8X8_nPoly5.xyz"
+        params["solver"]["multigrid"]["cycle type"] = cycle
+        params["visualization"]["export"] = False
+        params["visualization"]["automatically open paraview"] = False
+        params["logging"]["loglevel"] = "ERROR"
+        params["caching"]["enabled"] = False
+        s = Settings(params)
+        s.solver.method = "multigrid"
+        s.update_setting("solver.discretization", "dg")
+        dg = DGFEM(settings=s, solve_multigrid=True)
+        dg.solve()
+        assert dg.residuals[-1] < 1e-6
+        return len(dg.residuals) - 1
+
+    n_v = run("V")
+    n_w = run("W")
+    assert n_w <= n_v, (n_w, n_v)
