@@ -31,8 +31,13 @@ def make_refined_solver(op64, cycle32, n_inner=8, tol=1e-10, max_outer=20):
             e = cycle32(r32, e)
         return e
 
+    # op64 is passed as a jit ARGUMENT (it is a registered pytree), not
+    # captured by closure: closure-captured arrays become HLO literals, and
+    # the emulated-f64 operator blocks are by far the largest array in the
+    # program (212 MB at 64x64 — large enough to exceed compile-request
+    # limits on remote-compile setups)
     @jax.jit
-    def solve(rhs, u0):
+    def solve_with_op(op64, rhs, u0):
         res0 = lp_norm(rhs - op64.matvec(u0), 2)
         hist0 = jnp.full((max_outer + 1,), jnp.nan, dtype=rhs.dtype)
 
@@ -54,5 +59,8 @@ def make_refined_solver(op64, cycle32, n_inner=8, tol=1e-10, max_outer=20):
         n, u, res, hist = jax.lax.while_loop(cond, body, state)
         hist = hist.at[n].set(res)
         return u, res, n, hist
+
+    def solve(rhs, u0):
+        return solve_with_op(op64, rhs, u0)
 
     return solve
