@@ -66,8 +66,25 @@ def _aggregate(S):
     return agg, next_agg
 
 
+def _rho_dinv_a(A, n_iter=30, seed=0):
+    """Power-iteration estimate of rho(D^-1 A) (pyamg approximate_spectral_
+    radius analog); the SA omegas must be normalized by it — assuming
+    rho ~ 1 diverges for high-p DG operators."""
+    Dinv = 1.0 / np.diag(A)
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal(A.shape[0])
+    lam = 1.0
+    for _ in range(n_iter):
+        x = Dinv * (A @ x)
+        lam = np.linalg.norm(x)
+        if lam == 0:
+            return 1.0
+        x /= lam
+    return float(lam)
+
+
 def _sa_hierarchy(A, max_coarse=40, max_levels=10, omega=4.0 / 3.0):
-    """Smoothed-aggregation setup: list of (A_l, P_l) pairs, finest first."""
+    """Smoothed-aggregation setup: list of (A_l, P_l, rho_l), finest first."""
     levels = []
     A_l = A
     for _ in range(max_levels):
@@ -83,9 +100,10 @@ def _sa_hierarchy(A, max_coarse=40, max_levels=10, omega=4.0 / 3.0):
         # normalize columns (constant near-nullspace candidate)
         T /= np.maximum(np.sqrt((T ** 2).sum(axis=0)), 1e-30)
         Dinv = 1.0 / np.diag(A_l)
-        P = T - omega * (Dinv[:, None] * (A_l @ T))
+        rho = _rho_dinv_a(A_l)
+        P = T - (omega / rho) * (Dinv[:, None] * (A_l @ T))
         A_c = P.T @ A_l @ P
-        levels.append((A_l, P))
+        levels.append((A_l, P, rho))
         A_l = A_c
     return levels, A_l
 
@@ -102,23 +120,57 @@ def solve_amg(op, rhs, tol=1e-6, maxiter=1000):
 
     levels, A_coarse = _sa_hierarchy(A)
     A_coarse_inv = jnp.asarray(np.linalg.inv(A_coarse))
-    dev = [(jnp.asarray(Al), jnp.asarray(P), jnp.asarray(1.0 / np.diag(Al)))
-           for Al, P in levels]
+    dev = [(jnp.asarray(Al), jnp.asarray(P), jnp.asarray(1.0 / np.diag(Al)),
+            rho) for Al, P, rho in levels]
 
-    def jacobi(Al, Dinv, b, x, sweeps=2, omega=2.0 / 3.0):
+    # finest-level relaxation: element-block Jacobi when the operator carries
+    # DG block structure — point Jacobi smooths high-p SIP-DG blocks too
+    # weakly (p=5 needs ~1000 cycles; block Jacobi an order fewer)
+    Dblk = rho_blk = None
+    if hasattr(op, "blocks") and levels:
+        from dgtpu.ops.smoothers import block_diag_inv
+        Dblk_np = np.asarray(block_diag_inv(op))
+        Bsz = Dblk_np.shape[-1]
+
+        def _binv(v):
+            return np.einsum("nij,nj->ni", Dblk_np, v.reshape(-1, Bsz)).ravel()
+
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal(A.shape[0])
+        rho_blk = 1.0
+        for _ in range(30):
+            x = _binv(A @ x)
+            rho_blk = np.linalg.norm(x)
+            x /= rho_blk
+        rho_blk = float(rho_blk)
+        Dblk = jnp.asarray(Dblk_np)
+
+    def jacobi(Al, Dinv, b, x, rho, sweeps=2, omega=2.0 / 3.0):
+        # damped Jacobi normalized by rho(D^-1 A) so the sweep contracts for
+        # any polynomial degree (fixed 2/3 diverges for p >= 3 SIP-DG)
         for _ in range(sweeps):
-            x = x + omega * Dinv * (b - Al @ x)
+            x = x + (omega / rho) * Dinv * (b - Al @ x)
+        return x
+
+    def block_jacobi(Al, b, x, sweeps=2, omega=2.0 / 3.0):
+        Bsz = Dblk.shape[-1]
+        for _ in range(sweeps):
+            r = (b - Al @ x).reshape(-1, Bsz)
+            x = x + (omega / rho_blk) * jnp.einsum("nij,nj->ni", Dblk, r).ravel()
         return x
 
     def v_cycle(lvl, b, x):
         if lvl == len(dev):
             return A_coarse_inv @ b
-        Al, P, Dinv = dev[lvl]
-        x = jacobi(Al, Dinv, b, x)
+        Al, P, Dinv, rho = dev[lvl]
+        smooth = ((lambda b_, x_: block_jacobi(Al, b_, x_))
+                  if (lvl == 0 and Dblk is not None)
+                  else (lambda b_, x_: jacobi(Al, Dinv, b_, x_, rho)))
+        x = smooth(b, x)
         r = b - Al @ x
         e = v_cycle(lvl + 1, P.T @ r, jnp.zeros(P.shape[1], dtype=b.dtype))
         x = x + P @ e
-        x = jacobi(Al, Dinv, b, x)
+        x = smooth(b, x)
         return x
 
     @jax.jit

@@ -180,3 +180,27 @@ def test_packed_colored_sweep_matches_masked(base_settings):
     u_masked = _gs_sweep_colored(lvl.op, rhs, u0, Dinv, 1.0, colors)
     u_packed = _gs_sweep_packed(lvl.op, rhs, u0, Dinv, 1.0, pack)
     assert np.array_equal(np.asarray(u_masked), np.asarray(u_packed))
+
+
+def test_amg_converges_high_order(base_settings):
+    """SA-AMG stays convergent for high-p SIP-DG: the smoothing and
+    prolongator omegas are normalized by a measured rho(D^-1 A) and the
+    finest level uses element-block Jacobi (unnormalized fixed omegas
+    diverge for p >= 3)."""
+    import jax.numpy as jnp
+    from dgtpu.geometry import Geometry
+    from dgtpu.level import GridLevel
+    from dgtpu.mms import ManufacturedSolution
+    from dgtpu.models.poisson import assemble_poisson
+    from dgtpu.solvers.amg import solve_amg
+
+    base_settings.update_setting("grid.polynomial_degree", 2)
+    geom = Geometry(os.path.join(INPUT_DIR, "Rectangle_4X4_nPoly2.xyz"),
+                    base_settings)
+    lvl = GridLevel(geom, base_settings, ["u"], {"u": 4})
+    mms = ManufacturedSolution({"u": "sin(pi*x)*sin(pi*y)"}, "Poisson", 1.0)
+    lvl.op, rhs, _ = assemble_poisson(lvl, mms)
+    u, info = solve_amg(lvl.op, rhs)
+    assert info["info"] == 0
+    r = np.asarray(rhs) - np.asarray(lvl.op.matvec(u))
+    assert np.linalg.norm(r) / np.linalg.norm(np.asarray(rhs)) < 1e-5
