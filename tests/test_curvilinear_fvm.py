@@ -153,3 +153,16 @@ def test_fvm_h_convergence():
         dg.solve()
         errs.append(dg.L2_error_u)
     assert np.log2(errs[0] / errs[1]) > 1.5, errs
+
+
+def test_fvm_amplification_cli(tmp_path):
+    """-amp --fvm-discretization end to end (requires p_solution=0, the
+    reference's own validation rule)."""
+    from dgtpu.__main__ import main
+    dg = main(["-amp", "--fvm-discretization", "-f", "Rectangle_8X8_nPoly1.xyz",
+               "--p-grid", "1", "--p-solution", "0", "--silent"])
+    import numpy as np
+    out = np.load(os.path.join(dg.results_dir, "amplification.npz"))
+    for q in range(1, 5):
+        A = out[f"A{q}"]
+        assert 0.0 <= A.min() and A.max() <= 1.0  # GS contracts the FVM stencil
