@@ -108,16 +108,13 @@ def _sa_hierarchy(A, max_coarse=40, max_levels=10, omega=4.0 / 3.0):
     return levels, A_l
 
 
-def solve_amg(op, rhs, tol=1e-6, maxiter=1000):
-    """AMG solve to relative tolerance (reference: solver.py:68-77).
+def build_sa_cycle(op):
+    """SA setup on ``op``; returns (cycle(b, x) one-V-cycle applier, A dense).
 
-    Returns (u, info-dict with residual history).
+    Usable directly (solve_amg's inner loop) or as a preconditioner
+    application inside Krylov solvers.
     """
     A = np.asarray(as_dense_operator(op).A)
-    res = _try_pyamg(A, rhs, tol, maxiter)
-    if res is not None:
-        return res
-
     levels, A_coarse = _sa_hierarchy(A)
     A_coarse_inv = jnp.asarray(np.linalg.inv(A_coarse))
     dev = [(jnp.asarray(Al), jnp.asarray(P), jnp.asarray(1.0 / np.diag(Al)),
@@ -173,6 +170,20 @@ def solve_amg(op, rhs, tol=1e-6, maxiter=1000):
         x = smooth(b, x)
         return x
 
+    return (lambda b, x: v_cycle(0, b, x)), A
+
+
+def solve_amg(op, rhs, tol=1e-6, maxiter=1000):
+    """AMG solve to relative tolerance (reference: solver.py:68-77).
+
+    Returns (u, info-dict with residual history).
+    """
+    cycle, A = build_sa_cycle(op)
+    res = _try_pyamg(A, rhs, tol, maxiter)
+    if res is not None:
+        return res
+    A_dev = jnp.asarray(A)
+
     @jax.jit
     def run(rhs):
         res0 = jnp.linalg.norm(rhs)
@@ -185,8 +196,8 @@ def solve_amg(op, rhs, tol=1e-6, maxiter=1000):
         def body(state):
             n, x, r, hist = state
             hist = hist.at[n].set(r)
-            x = v_cycle(0, rhs, x)
-            r = jnp.linalg.norm(rhs - dev[0][0] @ x) / res0
+            x = cycle(rhs, x)
+            r = jnp.linalg.norm(rhs - A_dev @ x) / res0
             return n + 1, x, r, hist
 
         state = (jnp.asarray(0, dtype=jnp.int64 if rhs.dtype == jnp.float64 else jnp.int32),

@@ -26,20 +26,32 @@ from dgtpu.utils.norms import lp_norm
 def solve_krylov(level, settings, tol=1e-8, atol=1e-5, maxiter=2000,
                  restart=50):
     """Dispatch on problem type; returns the solution vector."""
+    precond = str(getattr(getattr(settings.solver, "krylov", None),
+                          "preconditioner", "block_diagonal"))
     if settings.problem.type == "Poisson" or level.block_A is None:
         return _solve_poisson_gmres(level, tol=tol, atol=atol, maxiter=maxiter,
-                                    restart=restart)
+                                    restart=restart, precond=precond)
     return _solve_stokes_gmres(level, tol=tol, atol=atol, maxiter=maxiter,
                                restart=restart)
 
 
-def _solve_poisson_gmres(level, tol, atol, maxiter, restart):
+def _solve_poisson_gmres(level, tol, atol, maxiter, restart,
+                         precond="block_diagonal"):
     op, rhs = level.op, level.rhs
-    Dinv = block_diag_inv(op)
-    n, _, br, _ = op.blocks.shape
+    if precond == "amg":
+        # one SA-AMG V-cycle as the preconditioner application — far
+        # stronger than the block diagonal for large/ill-conditioned grids
+        from dgtpu.solvers.amg import build_sa_cycle
+        cycle, _ = build_sa_cycle(op)
 
-    def M(x):
-        return jnp.einsum("nij,nj->ni", Dinv, x.reshape(n, br)).reshape(-1)
+        def M(x):
+            return cycle(x, jnp.zeros_like(x))
+    else:
+        Dinv = block_diag_inv(op)
+        n, _, br, _ = op.blocks.shape
+
+        def M(x):
+            return jnp.einsum("nij,nj->ni", Dinv, x.reshape(n, br)).reshape(-1)
 
     u, info = jax.scipy.sparse.linalg.gmres(
         op.matvec, rhs, tol=tol, atol=atol, maxiter=maxiter,

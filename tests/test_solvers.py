@@ -204,3 +204,26 @@ def test_amg_converges_high_order(base_settings):
     assert info["info"] == 0
     r = np.asarray(rhs) - np.asarray(lvl.op.matvec(u))
     assert np.linalg.norm(r) / np.linalg.norm(np.asarray(rhs)) < 1e-5
+
+
+def test_krylov_amg_preconditioner(base_settings):
+    """AMG-preconditioned GMRES solves Poisson to the direct-solve answer
+    (dgtpu extension over the reference's block-diagonal preconditioner)."""
+    from dgtpu.geometry import Geometry
+    from dgtpu.level import GridLevel
+    from dgtpu.mms import ManufacturedSolution
+    from dgtpu.models.poisson import assemble_poisson
+    from dgtpu.solvers.direct import solve_direct
+    from dgtpu.solvers.krylov import solve_krylov
+
+    s = base_settings
+    s.update_setting("grid.polynomial_degree", 1)
+    s.update_setting("solver.krylov", type("N", (), {})())
+    s.solver.krylov.preconditioner = "amg"
+    geom = Geometry(os.path.join(INPUT_DIR, "Rectangle_8X8_nPoly1.xyz"), s)
+    lvl = GridLevel(geom, s, ["u"], {"u": 2})
+    mms = ManufacturedSolution({"u": "sin(pi*x)*sin(pi*y)"}, "Poisson", 1.0)
+    lvl.op, lvl.rhs, _ = assemble_poisson(lvl, mms)
+    u = solve_krylov(lvl, s)
+    ud = np.asarray(solve_direct(lvl.op, lvl.rhs))
+    assert np.abs(np.asarray(u) - ud).max() < 1e-6 * np.abs(ud).max()
