@@ -40,9 +40,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from dgtpu.parallel.halo import (AXIS, _local_offdiag,
+from dgtpu.parallel.halo import (AXIS, ShardColorPack, _local_offdiag,
                                  _matvec_with_halo as _matvec,
-                                 make_mesh, reshape_level)
+                                 _rb_gs_sweep_packed, make_mesh, reshape_level)
 from dgtpu.ops.transfer import p_restriction
 
 # stencil slot order [self, iL, iR, jL, jR]; mirror(s) = slot of e as seen
@@ -122,12 +122,24 @@ def _rb_bgs_DG(D, G, DG_diag, DG_Dinv, colors, rhs, p, n_pass):
     return p
 
 
-def _dgs_sweep(data, f_mom, f_cont, uv, p, n_pass=2):
+def _dgs_sweep(data, f_mom, f_cont, uv, p, n_pass=2, apack=None,
+               apack_consts=None):
     """One distributive-GS (lsq splitting) sweep — stencil/halo form of
-    ``DistributiveGS.sweep`` (models/stokes.py; relaxation.py:220-441)."""
+    ``DistributiveGS.sweep`` (models/stokes.py; relaxation.py:220-441).
+
+    The velocity-block GS passes use the color-packed form (halo.py
+    ShardColorPack, ~2.5x less A-block traffic) when ``apack`` is given.
+    """
     A, D, G, A_Dinv, DG_diag, DG_Dinv, colors = data
+
+    def bgs_A(rhs, x):
+        if apack is not None:
+            return _rb_gs_sweep_packed(apack_consts, apack[0], apack[1],
+                                       rhs, x, n_pass=n_pass)
+        return _rb_bgs_A(A, A_Dinv, colors, rhs, x, n_pass)
+
     rhs_mom = f_mom - _matvec(A, uv) - _matvec(G, p)
-    du_s = _rb_bgs_A(A, A_Dinv, colors, rhs_mom, jnp.zeros_like(uv), n_pass)
+    du_s = bgs_A(rhs_mom, jnp.zeros_like(uv))
     rhs_cont = f_cont - _matvec(D, uv + du_s)
     dp_s = _rb_bgs_DG(D, G, DG_diag, DG_Dinv, colors, rhs_cont,
                       jnp.zeros_like(p), n_pass)
@@ -176,6 +188,14 @@ class ShardedStokesMultigrid:
         self.data = [_LevelData(l) for l in levels]
         self.pre_iters, self.post_iters = pre_iters, post_iters
         self.n_pass = smoother_passes
+        # per-level color packing of the velocity stencil (even local bands)
+        nj_loc = self.Nj // n_dev
+        self.a_packs = [ShardColorPack(d.A, d.A_Dinv, nj_loc, d.Ni)
+                        if nj_loc % 2 == 0 else None
+                        for d in self.data]
+        self._apack_consts = [(tuple(pk.idx), tuple(pk.off_nbr))
+                              if pk is not None else None
+                              for pk in self.a_packs]
 
         # element-local component transfers between consecutive levels
         self.Ruv, self.Puv, self.Rp, self.Pp = [], [], [], []
@@ -228,24 +248,29 @@ class ShardedStokesMultigrid:
         return (jax.lax.dynamic_slice_in_dim(e_uv, idx * nj_loc, nj_loc, 0),
                 jax.lax.dynamic_slice_in_dim(e_p, idx * nj_loc, nj_loc, 0))
 
-    def _v_cycle(self, k, datas, coarse_inv, Rs, Ps, f_mom, f_cont, uv, p):
+    def _v_cycle(self, k, datas, coarse_inv, Rs, Ps, apacks, f_mom, f_cont,
+                 uv, p):
         if k == 0:
             return self._coarse_solve(coarse_inv, f_mom, f_cont)
         data = datas[k]
+        apack = apacks[k] if self._apack_consts[k] is not None else None
+        consts = self._apack_consts[k]
         for _ in range(self.pre_iters):
-            uv, p = _dgs_sweep(data, f_mom, f_cont, uv, p, self.n_pass)
+            uv, p = _dgs_sweep(data, f_mom, f_cont, uv, p, self.n_pass,
+                               apack=apack, apack_consts=consts)
         r_mom, r_cont = _saddle_residual(data, f_mom, f_cont, uv, p)
         Ruv, Rp = Rs[k - 1]
         fc_mom = jnp.einsum("ab,jib->jia", Ruv, r_mom)
         fc_cont = jnp.einsum("ab,jib->jia", Rp, r_cont)
-        e_uv, e_p = self._v_cycle(k - 1, datas, coarse_inv, Rs, Ps,
+        e_uv, e_p = self._v_cycle(k - 1, datas, coarse_inv, Rs, Ps, apacks,
                                   fc_mom, fc_cont,
                                   jnp.zeros_like(fc_mom), jnp.zeros_like(fc_cont))
         Puv, Pp = Ps[k - 1]
         uv = uv + jnp.einsum("ab,jib->jia", Puv, e_uv)
         p = p + jnp.einsum("ab,jib->jia", Pp, e_p)
         for _ in range(self.post_iters):
-            uv, p = _dgs_sweep(data, f_mom, f_cont, uv, p, self.n_pass)
+            uv, p = _dgs_sweep(data, f_mom, f_cont, uv, p, self.n_pass,
+                               apack=apack, apack_consts=consts)
         return uv, p
 
     def build(self):
@@ -257,8 +282,13 @@ class ShardedStokesMultigrid:
         datas = [d.tree() for d in self.data]
         data_specs = tuple(tuple(P(AXIS) for _ in d) for d in datas)
         Rs_specs = tuple((P(), P()) for _ in self.Ruv)
+        apack_specs = tuple(
+            (tuple(P(AXIS) for _ in pk.off_blocks),
+             tuple(P(AXIS) for _ in pk.Dinv)) if pk is not None else ((), ())
+            for pk in self.a_packs)
 
-        def solve_local(datas, coarse_inv, Rs, Ps, f_mom, f_cont, uv0, p0):
+        def solve_local(datas, coarse_inv, Rs, Ps, apacks, f_mom, f_cont,
+                        uv0, p0):
             r0m, r0c = _saddle_residual(datas[-1], f_mom, f_cont, uv0, p0)
             res0 = _pnorm_pair(r0m, r0c)
             hist0 = jnp.full((max_cycles + 1,), jnp.nan, dtype=f_mom.dtype)
@@ -271,7 +301,7 @@ class ShardedStokesMultigrid:
                 n, uv, p, res, hist = state
                 hist = hist.at[n].set(res)
                 uv, p = self._v_cycle(n_lev - 1, datas, coarse_inv, Rs, Ps,
-                                      f_mom, f_cont, uv, p)
+                                      apacks, f_mom, f_cont, uv, p)
                 rm, rc = _saddle_residual(datas[-1], f_mom, f_cont, uv, p)
                 return n + 1, uv, p, _pnorm_pair(rm, rc) / res0, hist
 
@@ -284,7 +314,7 @@ class ShardedStokesMultigrid:
 
         fn = shard_map(solve_local, mesh=mesh,
                        in_specs=(data_specs, P(), Rs_specs, Rs_specs,
-                                 spec, spec, spec, spec),
+                                 apack_specs, spec, spec, spec, spec),
                        out_specs=(spec, spec, P(), P(), P()),
                        check_vma=False)
         self._built = jax.jit(fn)
@@ -324,8 +354,11 @@ class ShardedStokesMultigrid:
                           for d in self.data)
             Rs = tuple((r, rp) for r, rp in zip(self.Ruv, self.Rp))
             Ps = tuple((pu, pp) for pu, pp in zip(self.Puv, self.Pp))
+            apacks = tuple((tuple(pk.off_blocks), tuple(pk.Dinv))
+                           if pk is not None else ((), ())
+                           for pk in self.a_packs)
             uv, p, res, n, hist = self._built(datas, self.coarse_inv, Rs, Ps,
-                                              *args)
+                                              apacks, *args)
         hist = np.asarray(hist)
         self.history = [float(r) for r in hist[np.isfinite(hist)]]
         return self._join_fields(uv, p), float(res), int(n)
