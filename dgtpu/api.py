@@ -416,7 +416,10 @@ class DGFEM:
             self.logger.info(f"Residual reduced by 6 orders in {int(n)} sweeps")
         elif int(status) == 2:
             self.logger.error(f"smoother diverged after {int(n)} sweeps "
-                              f"(normalized residual > 1e10)")
+                              f"(normalized residual > 1e10 or non-finite)")
+        else:
+            self.logger.warning(f"smoother hit the iteration cap after "
+                                f"{int(n)} sweeps without converging")
         return u
 
     def _save_residual_history(self, kind):

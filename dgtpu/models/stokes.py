@@ -616,7 +616,9 @@ def distributive_gauss_seidel_solve(level, rhs, u0=None, splitting="lsq",
         n0 = jnp.asarray(0, dtype=jnp.int64 if rhs.dtype == jnp.float64 else jnp.int32)
         res_init = lp_norm(rhs - op.matvec(u0), 2) / res0
         n, u, res, hist = jax.lax.while_loop(cond, body, (n0, u0, res_init, hist0))
-        status = jnp.where(res < tol, 0, jnp.where(res > div_tol, 2, 1))
+        # NaN residual must map to diverged (2), not max-iterations (1)
+        status = jnp.where(res < tol, 0,
+                           jnp.where((res > div_tol) | ~jnp.isfinite(res), 2, 1))
         return u, hist, n, status
 
     return run(rhs, u0)

@@ -1,43 +1,91 @@
-"""Preconditioned Krylov solvers (GMRES / CG).
+"""Preconditioned Krylov solvers (CG / GMRES).
 
 The reference's Krylov path is marked broken (``solver.py:79-112``: lgmres
 with a dense-inverted block preconditioner that never converged).  Re-derived
 here per SURVEY §7:
 
-* Poisson: CG (the SIP operator is SPD when not mass-premultiplied) or GMRES,
-  preconditioned by the element-block-diagonal inverse.
+* Poisson: CG (the SIP operator is SPD when not mass-premultiplied) or
+  GMRES, preconditioned by the element-block-diagonal inverse or one
+  SA-AMG V-cycle.
 * Stokes (global order): GMRES with the block-diagonal
   P = [[diag_block(A), 0], [0, -S_hat]] preconditioner, S_hat = D diag(A)^-1 G
   approximating the (negative) pressure Schur complement.
 
 Built on ``jax.scipy.sparse.linalg`` with our stencil matvec as the operator
 — everything stays on device, the preconditioner applies as batched solves.
+
+All knobs come from the ``solver.krylov`` paramfile section
+(``method | preconditioner | tolerance | absolute tolerance |
+max iterations | restart``); explicit keyword arguments override it.  The
+final normalized residual is always checked after the solve and a warning
+is logged when it exceeds the requested tolerance — the reference returned
+non-converged lgmres results silently.
 """
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dgtpu.ops.linalg import host_inv
 from dgtpu.ops.smoothers import block_diag_inv
-from dgtpu.utils.norms import lp_norm
+from dgtpu.utils.logger import Logger
 
 
-def solve_krylov(level, settings, tol=1e-8, atol=1e-5, maxiter=2000,
-                 restart=50):
-    """Dispatch on problem type; returns the solution vector."""
-    precond = str(getattr(getattr(settings.solver, "krylov", None),
-                          "preconditioner", "block_diagonal"))
+def _krylov_params(settings, tol, atol, maxiter, restart):
+    """Resolve solver.krylov settings; explicit kwargs win over the paramfile."""
+    ks = getattr(getattr(settings, "solver", None), "krylov", None)
+
+    def pick(explicit, attr, default, cast):
+        if explicit is not None:
+            return explicit
+        return cast(getattr(ks, attr, default))
+
+    return {
+        "method": str(getattr(ks, "method", "gmres")).lower(),
+        "precond": str(getattr(ks, "preconditioner", "block_diagonal")),
+        "tol": pick(tol, "tolerance", 1e-8, float),
+        "atol": pick(atol, "absolute_tolerance", 1e-5, float),
+        "maxiter": pick(maxiter, "max_iterations", 2000, int),
+        "restart": pick(restart, "restart", 50, int),
+    }
+
+
+def _check_convergence(op, rhs, u, tol, atol, settings, method):
+    """Post-solve residual audit: jax gmres/cg discard the info flag."""
+    # scipy-style stopping criterion: ||b - Au||_2 <= max(tol*||b||_2, atol)
+    res = float(jnp.linalg.norm(rhs - op.matvec(u)))
+    rhs_norm = float(jnp.linalg.norm(rhs))
+    bound = max(tol * rhs_norm, atol)
+    normalized = res / rhs_norm if rhs_norm > 0 else res
+    logger = Logger(__name__, settings).logger
+    if not np.isfinite(res) or res > bound:
+        logger.warning(
+            f"Krylov ({method}) did NOT reach tolerance: ||b-Au||={res:.3e} "
+            f"(normalized {normalized:.3e}) > max(tol*||b||, atol)={bound:.3e}")
+    else:
+        logger.info(f"Krylov ({method}) converged: normalized residual "
+                    f"{normalized:.3e}")
+    return normalized
+
+
+def solve_krylov(level, settings, tol=None, atol=None, maxiter=None,
+                 restart=None):
+    """Dispatch on problem type and solver.krylov.method; returns the solution."""
+    p = _krylov_params(settings, tol, atol, maxiter, restart)
     if settings.problem.type == "Poisson" or level.block_A is None:
-        return _solve_poisson_gmres(level, tol=tol, atol=atol, maxiter=maxiter,
-                                    restart=restart, precond=precond)
-    return _solve_stokes_gmres(level, tol=tol, atol=atol, maxiter=maxiter,
-                               restart=restart)
+        u = _solve_poisson(level, **p)
+    else:
+        if p["method"] == "cg":
+            raise ValueError("solver.krylov.method 'cg' requires an SPD "
+                             "operator; the Stokes saddle system is "
+                             "indefinite — use 'gmres'")
+        u = _solve_stokes_gmres(level, p["tol"], p["atol"], p["maxiter"],
+                                p["restart"])
+    _check_convergence(level.op, level.rhs, u, p["tol"], p["atol"], settings,
+                       p["method"])
+    return u
 
 
-def _solve_poisson_gmres(level, tol, atol, maxiter, restart,
-                         precond="block_diagonal"):
-    op, rhs = level.op, level.rhs
+def _poisson_preconditioner(op, precond):
     if precond == "amg":
         # one SA-AMG V-cycle as the preconditioner application — far
         # stronger than the block diagonal for large/ill-conditioned grids
@@ -53,7 +101,22 @@ def _solve_poisson_gmres(level, tol, atol, maxiter, restart,
         def M(x):
             return jnp.einsum("nij,nj->ni", Dinv, x.reshape(n, br)).reshape(-1)
 
-    u, info = jax.scipy.sparse.linalg.gmres(
+    return M
+
+
+def _solve_poisson(level, method, precond, tol, atol, maxiter, restart):
+    op, rhs = level.op, level.rhs
+    M = _poisson_preconditioner(op, precond)
+    if method == "cg":
+        # the SIP operator is SPD (face.py:119-126 symmetry asserts in the
+        # reference); the block-diagonal / SA-AMG preconditioners are SPD too
+        u, _ = jax.scipy.sparse.linalg.cg(
+            op.matvec, rhs, tol=tol, atol=atol, maxiter=maxiter, M=M)
+        return u
+    if method != "gmres":
+        raise ValueError(f"unknown solver.krylov.method '{method}' "
+                         "(expected 'gmres' or 'cg')")
+    u, _ = jax.scipy.sparse.linalg.gmres(
         op.matvec, rhs, tol=tol, atol=atol, maxiter=maxiter,
         restart=restart, M=M, solve_method="batched")
     return u
@@ -61,7 +124,6 @@ def _solve_poisson_gmres(level, tol, atol, maxiter, restart,
 
 def _solve_stokes_gmres(level, tol, atol, maxiter, restart):
     """Block-diagonal Schur-complement-preconditioned GMRES for the saddle system."""
-    from dgtpu.models.stokes import _uv_permutation
     op, rhs = level.op, level.rhs
     n, nu, npd = op.sizes
 
@@ -90,7 +152,7 @@ def _solve_stokes_gmres(level, tol, atol, maxiter, restart):
         return jnp.concatenate([uv2[:, :nu].reshape(-1), uv2[:, nu:].reshape(-1),
                                 p2.reshape(-1)])
 
-    u, info = jax.scipy.sparse.linalg.gmres(
+    u, _ = jax.scipy.sparse.linalg.gmres(
         op.matvec, rhs, tol=tol, atol=atol, maxiter=maxiter,
         restart=restart, M=M, solve_method="batched")
     return u

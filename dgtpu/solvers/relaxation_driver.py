@@ -51,7 +51,10 @@ def residual_tracked_smoother(op, rhs, u0=None, name="block_gauss_seidel",
         n0 = jnp.asarray(0, dtype=jnp.int64 if rhs.dtype == jnp.float64 else jnp.int32)
         res_init = lp_norm(rhs - op.matvec(u0), 2) / res0
         n, u, res, hist = jax.lax.while_loop(cond, body, (n0, u0, res_init, hist0))
-        status = jnp.where(res < tol, 0, jnp.where(res > div_tol, 2, 1))
+        # NaN/Inf residuals are divergence, not max-iterations: `res > div_tol`
+        # is False for NaN, so the isfinite term is required for status 2.
+        status = jnp.where(res < tol, 0,
+                           jnp.where((res > div_tol) | ~jnp.isfinite(res), 2, 1))
         return u, hist, n, status
 
     return run(rhs, u0)

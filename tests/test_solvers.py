@@ -227,3 +227,68 @@ def test_krylov_amg_preconditioner(base_settings):
     u = solve_krylov(lvl, s)
     ud = np.asarray(solve_direct(lvl.op, lvl.rhs))
     assert np.abs(np.asarray(u) - ud).max() < 1e-6 * np.abs(ud).max()
+
+
+def test_krylov_cg_matches_direct(base_settings):
+    """The documented CG path: SPD SIP Poisson (no mass premultiply)
+    preconditioned CG agrees with the direct solve."""
+    from dgtpu.solvers.krylov import solve_krylov
+
+    s = base_settings
+    lvl, op, rhs = _setup(s, n=4, p_grid=1, p_sol=2, premul=False)
+    # the SIP operator without M^-1 premultiply is symmetric positive definite
+    A = np.asarray(op.to_dense())
+    assert np.abs(A - A.T).max() < 1e-10
+    lvl.op, lvl.rhs = op, rhs
+    s.update_setting("solver.krylov", type("N", (), {})())
+    s.solver.krylov.method = "cg"
+    u = np.asarray(solve_krylov(lvl, s))
+    ud = np.asarray(solve_direct(op, rhs))
+    assert np.abs(u - ud).max() < 1e-6 * np.abs(ud).max()
+
+
+def test_krylov_paramfile_settings_roundtrip():
+    """solver.krylov knobs flow from the paramfile; explicit kwargs win."""
+    from dgtpu.settings import Settings, load_params
+    from dgtpu.solvers.krylov import _krylov_params
+
+    params = load_params()
+    params["solver"]["krylov"]["method"] = "cg"
+    params["solver"]["krylov"]["tolerance"] = 1e-9
+    params["solver"]["krylov"]["absolute tolerance"] = 1e-7
+    params["solver"]["krylov"]["max iterations"] = 123
+    params["solver"]["krylov"]["restart"] = 17
+    s = Settings(params)
+    p = _krylov_params(s, None, None, None, None)
+    assert p["method"] == "cg" and p["tol"] == 1e-9 and p["atol"] == 1e-7
+    assert p["maxiter"] == 123 and p["restart"] == 17
+    # explicit keyword overrides the paramfile
+    p2 = _krylov_params(s, 1e-3, None, 5, None)
+    assert p2["tol"] == 1e-3 and p2["maxiter"] == 5 and p2["restart"] == 17
+
+
+def test_krylov_cg_rejects_stokes():
+    from dgtpu.settings import Settings, load_params
+    from dgtpu.solvers.krylov import solve_krylov
+
+    params = load_params()
+    params["problem"]["type"] = "Stokes"
+    params["solution"]["ordering"] = "global"
+    params["solver"]["krylov"]["method"] = "cg"
+    s = Settings(params)
+
+    class FakeLevel:
+        block_A = object()     # marks a Stokes saddle operator
+        op = rhs = None
+
+    with pytest.raises(ValueError, match="indefinite"):
+        solve_krylov(FakeLevel(), s)
+
+
+def test_nonfinite_residual_reports_diverged(base_settings):
+    """A NaN residual must map to status 2 (diverged), not 1 (max iters)."""
+    lvl, op, rhs = _setup(base_settings)
+    bad_rhs = rhs.at[0].set(jnp.nan)
+    _, _, _, status = residual_tracked_smoother(
+        op, bad_rhs, name="block_gauss_seidel", max_iterations=5)
+    assert int(status) == 2
