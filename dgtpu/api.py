@@ -250,16 +250,18 @@ class DGFEM:
                     from dgtpu.models.fvm import assemble_poisson_fvm
                     lvl.op, lvl.rhs = assemble_poisson_fvm(lvl, self.mms)
                 else:
-                    cached = load_operator(lvl, problem) if need_rhs else None
-                    if cached is not None and cached[1] is not None:
+                    cached = load_operator(lvl, problem)
+                    # a cache hit must carry an rhs whenever this level needs
+                    # one (the finest), else reassemble and overwrite it
+                    if cached is not None and (cached[1] is not None
+                                               or not need_rhs):
                         lvl.op, lvl.rhs, lvl.inv_mass = cached
                         self.logger.debug("loaded assembled system from cache")
                     else:
                         lvl.op, lvl.rhs, lvl.inv_mass = assemble_poisson(
                             lvl, self.mms if need_rhs else None)
-                        if need_rhs:
-                            save_operator(lvl, problem, lvl.op, lvl.rhs,
-                                          lvl.inv_mass)
+                        save_operator(lvl, problem, lvl.op, lvl.rhs,
+                                      lvl.inv_mass)
             elif problem == "Stokes":
                 from dgtpu.models.stokes import assemble_stokes
                 assemble_stokes(lvl, self.mms if need_rhs else None,

@@ -243,14 +243,24 @@ def assemble_stokes(level, mms=None, direct=False):
     (block_A/D/G) for the distributive smoother (discrete_system.py:416-745).
     ``level.rhs`` is stored in the operator's own ordering.
     """
+    from dgtpu.utils.caching import load_stokes_parts, save_stokes_parts
     s = level.settings
-    gt = level.gt
-    parts = _element_blocks(level, gt)
     mask = jnp.asarray(level.nbr_mask)
     nbr = jnp.asarray(level.nbr, dtype=jnp.int32)
-    A_blocks = _mask_blocks(parts["A"], mask)
-    D_blocks = _mask_blocks(parts["D"], mask)
-    G_blocks = _mask_blocks(parts["G"], mask)
+    rhs_local = None
+    cached = load_stokes_parts(level)
+    # the cache holds the ordering-independent pieces; require a cached rhs
+    # whenever this call needs one (mms given) so we never skip RHS assembly
+    if cached is not None and (mms is None or cached[3] is not None):
+        A_blocks, D_blocks, G_blocks, rhs_local, eps = cached
+        level.Epsilon = eps if eps is not None else 0.0
+        parts = None
+    else:
+        gt = level.gt
+        parts = _element_blocks(level, gt)
+        A_blocks = _mask_blocks(parts["A"], mask)
+        D_blocks = _mask_blocks(parts["D"], mask)
+        G_blocks = _mask_blocks(parts["G"], mask)
     nu_dof = level.N_DOF_sol["u"]
     np_dof = level.N_DOF_sol["p"]
 
@@ -272,10 +282,13 @@ def assemble_stokes(level, mms=None, direct=False):
             blocks = blocks.at[0, 0, 2 * nu_dof, 2 * nu_dof].set(1.0)
         level.op = StencilOperator(blocks, nbr, mask)
 
-    compute_mms_epsilon(level, mms)
-
-    if mms is not None:
-        rhs_local = assemble_rhs_stokes(level, mms, parts["fd"])
+    if parts is not None:
+        compute_mms_epsilon(level, mms)
+        if mms is not None:
+            rhs_local = assemble_rhs_stokes(level, mms, parts["fd"])
+        save_stokes_parts(level, A_blocks, D_blocks, G_blocks, rhs_local,
+                          level.Epsilon)
+    if rhs_local is not None:
         level.rhs = (reorder_local_to_global(level, rhs_local)
                      if ordering == "global" else rhs_local)
     return level.op

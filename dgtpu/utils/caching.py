@@ -6,6 +6,14 @@ settings-dict equality (grid.py:96-148, discrete_system.py:29-50; README
 flags pickle as a known limitation).  Here the assembled operator tensors
 are stored as ``.npz`` (portable, no code execution on load) with a JSON
 settings fingerprint, same key scheme, same validation semantics.
+
+Every level of the hierarchy is cacheable (the reference caches each
+``Grid``/``DiscreteSystem`` it builds), for both Poisson and Stokes.  The
+fingerprint covers the grid/solution/problem sections *and* the per-level
+assembly inputs (sigma, gamma, P_sol, discretization) — sigma in
+particular is derived from ``solver.multigrid.penalty parameter
+coarsening.multipliers``, so changing the multipliers must invalidate the
+cache even though the three sections are unchanged.
 """
 
 import hashlib
@@ -16,16 +24,31 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _fingerprint(settings):
+def _fingerprint(level):
+    settings = level.settings
     relevant = {k: settings.to_dict().get(k)
                 for k in ("grid", "solution", "problem")}
+    # per-level assembly inputs not derivable from the three sections
+    relevant["_level"] = {
+        "sigma": float(level.sigma),
+        "gamma": float(level.gamma) if level.gamma is not None else None,
+        "P_sol": {k: int(v) for k, v in level.P_sol.items()},
+        "discretization": level.discretization,
+        "coarsening_factor": level.coarsening_factor,
+    }
     blob = json.dumps(relevant, sort_keys=True, default=str)
     return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
 
 def cache_key(level, problem_type):
-    name = f"discrete_system_{problem_type}_{level.Ni}X{level.Nj}" \
-           f"_nPoly{level.P_grid}_pSol{level.P_sol['u']}"
+    p_sol = "_".join(f"p{v}{level.P_sol[v]}" for v in sorted(level.P_sol))
+    sigma = f"{float(level.sigma):g}".replace(".", "_")
+    name = (f"discrete_system_{problem_type}_{level.Ni}X{level.Nj}"
+            f"_nPoly{level.P_grid}_{p_sol}_sigma{sigma}")
+    if level.discretization != "dg":
+        name += f"_{level.discretization}"
+    if problem_type == "Stokes":
+        name += f"_{level.settings.solution.ordering}"
     if level.settings.grid.circular:
         name += "_circle"
     if level.coarsening_factor:
@@ -40,17 +63,41 @@ def cache_dir():
     return path
 
 
+def _cache_path(level, problem_type):
+    return os.path.join(cache_dir(), cache_key(level, problem_type) + ".npz")
+
+
+def _with_fingerprint(level, payload):
+    payload["fingerprint"] = np.frombuffer(
+        _fingerprint(level).encode(), dtype=np.uint8)
+    return payload
+
+
+def _load_validated(level, problem_type):
+    """The npz dict, or None on miss / fingerprint mismatch."""
+    if not level.settings.caching.enabled:
+        return None
+    path = _cache_path(level, problem_type)
+    if not os.path.exists(path):
+        return None
+    data = np.load(path)
+    stored = bytes(data["fingerprint"]).decode()
+    if stored != _fingerprint(level):
+        # settings changed since the cache was written — same validation
+        # failure mode as the reference's settings-equality asserts
+        return None
+    return data
+
+
 def save_operator(level, problem_type, op, rhs, inv_mass=None):
     if not level.settings.caching.enabled:
         return None
-    path = os.path.join(cache_dir(), cache_key(level, problem_type) + ".npz")
-    payload = {
+    path = _cache_path(level, problem_type)
+    payload = _with_fingerprint(level, {
         "blocks": np.asarray(op.blocks),
         "nbr": np.asarray(op.nbr),
         "mask": np.asarray(op.mask),
-        "fingerprint": np.frombuffer(
-            _fingerprint(level.settings).encode(), dtype=np.uint8),
-    }
+    })
     if rhs is not None:
         payload["rhs"] = np.asarray(rhs)
     if inv_mass is not None:
@@ -61,16 +108,8 @@ def save_operator(level, problem_type, op, rhs, inv_mass=None):
 
 def load_operator(level, problem_type):
     """Returns (op, rhs, inv_mass) or None on miss/fingerprint mismatch."""
-    if not level.settings.caching.enabled:
-        return None
-    path = os.path.join(cache_dir(), cache_key(level, problem_type) + ".npz")
-    if not os.path.exists(path):
-        return None
-    data = np.load(path)
-    stored = bytes(data["fingerprint"]).decode()
-    if stored != _fingerprint(level.settings):
-        # settings changed since the cache was written — same validation
-        # failure mode as the reference's settings-equality asserts
+    data = _load_validated(level, problem_type)
+    if data is None:
         return None
     from dgtpu.ops.stencil import StencilOperator
     op = StencilOperator(jnp.asarray(data["blocks"]),
@@ -78,3 +117,40 @@ def load_operator(level, problem_type):
     rhs = jnp.asarray(data["rhs"]) if "rhs" in data else None
     inv_mass = jnp.asarray(data["inv_mass"]) if "inv_mass" in data else None
     return op, rhs, inv_mass
+
+
+def save_stokes_parts(level, A_blocks, D_blocks, G_blocks, rhs_local, epsilon):
+    """Cache the ordering-independent Stokes pieces (pre-pin, local-order rhs).
+
+    The pressure pin and the global/local operator layout are cheap to
+    rebuild at load; the expensive einsum assembly and the sympy Epsilon
+    integral are what's stored (reference: discrete_system.py:29-50 caches
+    the assembled system per problem).
+    """
+    if not level.settings.caching.enabled:
+        return None
+    path = _cache_path(level, "Stokes")
+    payload = _with_fingerprint(level, {
+        "A_blocks": np.asarray(A_blocks),
+        "D_blocks": np.asarray(D_blocks),
+        "G_blocks": np.asarray(G_blocks),
+        "nbr": np.asarray(level.nbr),
+        "mask": np.asarray(level.nbr_mask),
+    })
+    if rhs_local is not None:
+        payload["rhs_local"] = np.asarray(rhs_local)
+    if epsilon is not None:
+        payload["epsilon"] = np.asarray(epsilon)
+    np.savez(path, **payload)
+    return path
+
+
+def load_stokes_parts(level):
+    """(A_blocks, D_blocks, G_blocks, rhs_local, epsilon) or None."""
+    data = _load_validated(level, "Stokes")
+    if data is None:
+        return None
+    rhs = jnp.asarray(data["rhs_local"]) if "rhs_local" in data else None
+    eps = float(data["epsilon"]) if "epsilon" in data else None
+    return (jnp.asarray(data["A_blocks"]), jnp.asarray(data["D_blocks"]),
+            jnp.asarray(data["G_blocks"]), rhs, eps)

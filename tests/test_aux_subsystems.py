@@ -127,3 +127,94 @@ def test_timer_and_logger():
     def f(x):
         return x + 1
     assert f(1) == 2
+
+
+def test_cache_covers_all_multigrid_levels(monkeypatch):
+    """Every DG level of the hierarchy is cached (reference caches each
+    Grid/DiscreteSystem it builds, grid.py:96-148, discrete_system.py:29-50);
+    a second construction must not assemble anything."""
+    import dgtpu.models.poisson as poisson_mod
+    from dgtpu.utils.caching import cache_key
+
+    over = {"caching.enabled": True,
+            "solver.multigrid.geometric coarsening.enabled": False}
+    s = make_settings(**over)
+    s.solver.method = "multigrid"
+    s.update_setting("solver.multigrid.polynomial_coarsening.levels.u", "1,2")
+    dg1 = DGFEM(settings=s, solve_multigrid=True)
+    from dgtpu.utils.caching import cache_dir
+    files = set(os.listdir(cache_dir()))
+    for lvl in dg1.levels:
+        assert cache_key(lvl, "Poisson") + ".npz" in files
+
+    real = poisson_mod.assemble_poisson
+
+    def boom(*a, **k):
+        raise AssertionError("assembly ran despite a warm cache")
+
+    monkeypatch.setattr(poisson_mod, "assemble_poisson", boom)
+    s2 = make_settings(**over)
+    s2.solver.method = "multigrid"
+    s2.update_setting("solver.multigrid.polynomial_coarsening.levels.u", "1,2")
+    dg2 = DGFEM(settings=s2, solve_multigrid=True)
+    monkeypatch.setattr(poisson_mod, "assemble_poisson", real)
+    u1, u2 = dg1.solve(), dg2.solve()
+    assert np.allclose(np.asarray(u1), np.asarray(u2))
+
+
+def test_cache_key_depends_on_sigma():
+    """Changing the penalty-coarsening multipliers changes sigma, which must
+    change the cache identity (advisor finding: a stale operator assembled
+    with the old sigma must never load)."""
+    from dgtpu.geometry import Geometry
+    from dgtpu.level import GridLevel
+    from dgtpu.utils.caching import _fingerprint, cache_key
+    from tests.conftest import INPUT_DIR
+
+    s = make_settings(**{"caching.enabled": True})
+    geom = Geometry(os.path.join(INPUT_DIR, "Rectangle_4X4_nPoly1.xyz"), s)
+    lvl_a = GridLevel(geom, s, ["u"], {"u": 2}, sigma=9.0)
+    lvl_b = GridLevel(geom, s, ["u"], {"u": 2}, sigma=18.0)
+    assert cache_key(lvl_a, "Poisson") != cache_key(lvl_b, "Poisson")
+    assert _fingerprint(lvl_a) != _fingerprint(lvl_b)
+
+
+def test_stokes_cache_roundtrip(monkeypatch):
+    """Stokes assembly caches A/D/G blocks + rhs + Epsilon; the second
+    assembly must come from the cache and produce the identical system."""
+    import dgtpu.models.stokes as stokes_mod
+    from dgtpu.geometry import Geometry
+    from dgtpu.level import GridLevel
+    from dgtpu.mms import ManufacturedSolution
+    from tests.conftest import INPUT_DIR
+
+    params = load_params()
+    params["grid"]["filename"] = "Rectangle_4X4_nPoly1.xyz"
+    params["grid"]["polynomial degree"] = 1
+    params["problem"]["type"] = "Stokes"
+    params["solution"]["ordering"] = "global"
+    params["caching"]["enabled"] = True
+    params["logging"]["loglevel"] = "ERROR"
+    s = Settings(params)
+    mms = ManufacturedSolution(
+        {"u": "sin(pi*x)*sin(pi*y)", "v": "cos(pi*x)*cos(pi*y)", "p": "x+y"},
+        "Stokes", s.problem.kinematic_viscosity)
+    geom = Geometry(os.path.join(INPUT_DIR, "Rectangle_4X4_nPoly1.xyz"), s)
+
+    lvl1 = GridLevel(geom, s, ["u", "p"], {"u": 2, "p": 1})
+    stokes_mod.assemble_stokes(lvl1, mms)
+
+    real = stokes_mod._element_blocks
+
+    def boom(*a, **k):
+        raise AssertionError("Stokes assembly ran despite a warm cache")
+
+    monkeypatch.setattr(stokes_mod, "_element_blocks", boom)
+    lvl2 = GridLevel(geom, s, ["u", "p"], {"u": 2, "p": 1})
+    stokes_mod.assemble_stokes(lvl2, mms)
+    monkeypatch.setattr(stokes_mod, "_element_blocks", real)
+
+    assert np.allclose(np.asarray(lvl1.block_A.blocks),
+                       np.asarray(lvl2.block_A.blocks))
+    assert np.allclose(np.asarray(lvl1.rhs), np.asarray(lvl2.rhs))
+    assert lvl1.Epsilon == pytest.approx(lvl2.Epsilon)
