@@ -365,34 +365,31 @@ class DGFEM:
                 "count=N for a virtual CPU mesh)")
         mesh = make_mesh(n_shards)
         finest = self.levels[-1]
-        # honor the configured pre/post iteration counts (taken from the
-        # finest gap's coarsening type, like the per-level configs in
-        # MultigridSolver); smoother *kind*, relaxation factor and coarse
-        # solver are fixed in sharded mode — warn when they would differ
-        mgs = self.settings.solver.multigrid
-        ttype = self.transfer_types[-1] if self.transfer_types else "polynomial"
-        node = getattr(mgs, f"{ttype}_coarsening")
-        pre = int(node.pre_smoother.iterations)
-        post = int(node.post_smoother.iterations)
-        fixed = []
-        if float(node.pre_smoother.relaxation_factor) != 1.0 or \
-                float(node.post_smoother.relaxation_factor) != 1.0:
-            fixed.append("relaxation factor (uses 1.0)")
-        if mgs.coarse_grid_solver != "direct":
-            fixed.append("coarse grid solver (uses replicated direct)")
-        if fixed:
-            self.logger.warning(
-                "sharded multigrid ignores: " + "; ".join(fixed))
+        # smoother kind/direction/iterations/relaxation factor and the
+        # coarse-grid solver all come from the per-coarsening paramfile
+        # nodes inside the sharded solvers, same as the single-chip path
         if self.vars == ["u", "p"]:
+            # the Stokes saddle smoother is structurally distributive GS in
+            # sharded mode (cell-Vanka diverges on SIP-DG, see
+            # parallel/stokes_halo.py) — warn if the config names another
+            from dgtpu.ops.smoothers import normalize_smoother_name
+            mgs = self.settings.solver.multigrid
+            for t in set(self.transfer_types):
+                node = getattr(mgs, f"{t}_coarsening")
+                for side in (node.pre_smoother, node.post_smoother):
+                    name = normalize_smoother_name(side.smoother)
+                    if name != "distributive_gauss_seidel":
+                        self.logger.warning(
+                            f"sharded Stokes multigrid smooths with "
+                            f"distributive GS, not the configured "
+                            f"{side.smoother!r}")
             from dgtpu.parallel.stokes_halo import ShardedStokesMultigrid
             self.mg = ShardedStokesMultigrid(self.levels, self.settings,
-                                             mesh=mesh, pre_iters=pre,
-                                             post_iters=post)
+                                             mesh=mesh)
         else:
             from dgtpu.parallel.halo import ShardedMultigrid
             self.mg = ShardedMultigrid(self.levels, self.transfers,
-                                       self.settings, mesh=mesh,
-                                       pre_iters=pre, post_iters=post)
+                                       self.settings, mesh=mesh)
         self.logger.info(f"sharded multigrid over {n_shards} devices "
                          f"({mesh.devices.ravel()[0].platform})")
         return self.mg.solve(finest.rhs)

@@ -104,12 +104,13 @@ def _local_offdiag(blocks, u):
     return out
 
 
-def _rb_gs_sweep(blocks, Dinv, rhs, u, colors, n_pass=2):
+def _rb_gs_sweep(blocks, Dinv, rhs, u, colors, omega=1.0, n_pass=2):
     """Red-black block-GS sweep; colors (Nj_local, Ni) 0/1."""
     for _ in range(n_pass):
         for c in (0, 1):
             off = _local_offdiag(blocks, u)
             unew = jnp.einsum("jiab,jib->jia", Dinv, rhs - off)
+            unew = omega * unew + (1 - omega) * u
             u = jnp.where((colors == c)[:, :, None], unew, u)
     return u
 
@@ -119,10 +120,11 @@ class ShardColorPack:
 
     Counterpart of ``ops.smoothers.ColorPack``: each color pass reads only
     its own rows' off-diagonal blocks (~1/2.5 of the stencil traffic) with
-    the same update math.  Requires an even number of element rows per
-    shard so the local checkerboard pattern is identical on every shard —
-    then the index sets are shard-invariant compile-time constants and only
-    the packed blocks/Dinv arrays are sharded (leading dim in shard order).
+    the same update math.  Index sets are built per shard (the checkerboard
+    phase flips between shards when the local band has an odd number of
+    rows) and padded to a common count with entries that write into a
+    scratch slot with a zero Dinv, so any rows-per-shard value works.  All
+    four arrays are sharded along the leading (shard-ordered) dimension.
     """
 
     def __init__(self, blocks, Dinv, nj_loc, Ni):
@@ -132,48 +134,77 @@ class ShardColorPack:
         Nj = blocks.shape[0]
         n_dev = Nj // nj_loc
         B = blocks.shape[-1]
+        scratch = nj_loc * Ni                 # one-past-the-end write target
         lj, li = np.meshgrid(np.arange(nj_loc), np.arange(Ni), indexing="ij")
-        local_color = (lj + li) % 2          # same on every shard (nj_loc even)
         b6 = blocks.reshape(n_dev, nj_loc, Ni, 5, B, B)
         d6 = Dinv.reshape(n_dev, nj_loc, Ni, B, B)
         self.idx, self.off_nbr, self.off_blocks, self.Dinv = [], [], [], []
         ext_ni = Ni                           # u_ext rows: [halo_up, u..., halo_down]
         for c in (0, 1):
-            sel = local_color == c
-            ljc, lic = lj[sel], li[sel]
-            # flat index into the local (nj_loc, Ni) grid
-            self.idx.append(jnp.asarray(ljc * Ni + lic, dtype=jnp.int32))
-            # neighbor flat indices into the (nj_loc + 2, Ni) extended grid
-            # (row 0 = halo_up, row nj_loc + 1 = halo_down); i wraps like the
-            # roll-based matvec (wrapped blocks are zero on Dirichlet grids)
-            iL = (ljc + 1) * ext_ni + (lic - 1) % Ni
-            iR = (ljc + 1) * ext_ni + (lic + 1) % Ni
-            jL = ljc * ext_ni + lic
-            jR = (ljc + 2) * ext_ni + lic
-            self.off_nbr.append(jnp.asarray(
-                np.stack([iL, iR, jL, jR], axis=1), dtype=jnp.int32))
-            ob = b6[:, ljc, lic, 1:]          # (n_dev, nc, 4, B, B)
+            per_shard = []
+            for s in range(n_dev):
+                # global checkerboard color of local cell (lj, li) on shard s
+                sel = ((s * nj_loc + lj + li) % 2) == c
+                per_shard.append((lj[sel], li[sel]))
+            nc = max(len(a) for a, _ in per_shard)
+            idx = np.full((n_dev, nc), scratch, dtype=np.int32)
+            nbr = np.zeros((n_dev, nc, 4), dtype=np.int32)
+            ob = np.zeros((n_dev, nc, 4, B, B), dtype=blocks.dtype)
+            dv = np.zeros((n_dev, nc, B, B), dtype=Dinv.dtype)
+            for s, (ljc, lic) in enumerate(per_shard):
+                m = len(ljc)
+                # flat index into the local (nj_loc, Ni) grid
+                idx[s, :m] = ljc * Ni + lic
+                # neighbor flat indices into the (nj_loc + 2, Ni) extended
+                # grid (row 0 = halo_up, row nj_loc + 1 = halo_down); i wraps
+                # like the roll-based matvec (wrapped blocks are zero on
+                # Dirichlet grids)
+                iL = (ljc + 1) * ext_ni + (lic - 1) % Ni
+                iR = (ljc + 1) * ext_ni + (lic + 1) % Ni
+                jL = ljc * ext_ni + lic
+                jR = (ljc + 2) * ext_ni + lic
+                nbr[s, :m] = np.stack([iL, iR, jL, jR], axis=1)
+                ob[s, :m] = b6[s, ljc, lic, 1:]
+                dv[s, :m] = d6[s, ljc, lic]
+            self.idx.append(jnp.asarray(idx.reshape(-1)))
+            self.off_nbr.append(jnp.asarray(nbr.reshape(-1, 4)))
             self.off_blocks.append(jnp.asarray(ob.reshape(-1, 4, B, B)))
-            self.Dinv.append(jnp.asarray(
-                d6[:, ljc, lic].reshape(-1, B, B)))
+            self.Dinv.append(jnp.asarray(dv.reshape(-1, B, B)))
 
     def tree(self):
-        return (tuple(self.off_blocks), tuple(self.Dinv))
+        return (tuple(self.off_blocks), tuple(self.Dinv),
+                tuple(self.idx), tuple(self.off_nbr))
+
+    def specs(self):
+        s = P(AXIS)
+        return ((s, s), (s, s), (s, s), (s, s))
 
 
-def _rb_gs_sweep_packed(pack_consts, off_blocks, Dinv_c, rhs, u, n_pass=2):
-    """Color-packed sharded sweep; halos refreshed before each color pass."""
-    idx, off_nbr = pack_consts
+def _rb_gs_sweep_packed(pack, rhs, u, omega=1.0, n_pass=2):
+    """Color-packed sharded sweep; halos refreshed before each color pass.
+
+    ``pack`` is a ShardColorPack.tree() with every leaf shard-local:
+    (off_blocks, Dinv, idx, off_nbr) per color.  Padded entries carry a
+    zero Dinv and write into the scratch slot past the local grid, so they
+    are no-ops regardless of omega.
+    """
+    off_blocks, Dinv_c, idx, off_nbr = pack
     nj_loc, ni, B = u.shape
+    n_cells = nj_loc * ni
     rhs_flat = rhs.reshape(-1, B)
     for _ in range(n_pass):
         for c in (0, 1):
+            safe = jnp.minimum(idx[c], n_cells - 1)   # pad reads clip in-range
             up, down = _halo_exchange(u)
             u_ext = jnp.concatenate([up[None], u, down[None]], axis=0)
             u_nbr = u_ext.reshape(-1, B)[off_nbr[c]]       # (nc, 4, B)
             off = jnp.einsum("nsab,nsb->na", off_blocks[c], u_nbr)
-            unew = jnp.einsum("nab,nb->na", Dinv_c[c], rhs_flat[idx[c]] - off)
-            u = u.reshape(-1, B).at[idx[c]].set(unew).reshape(nj_loc, ni, B)
+            u_flat = u.reshape(-1, B)
+            unew = jnp.einsum("nab,nb->na", Dinv_c[c], rhs_flat[safe] - off)
+            unew = omega * unew + (1 - omega) * u_flat[safe]
+            u_pad = jnp.concatenate(
+                [u_flat, jnp.zeros((1, B), dtype=u.dtype)], axis=0)
+            u = u_pad.at[idx[c]].set(unew)[:-1].reshape(nj_loc, ni, B)
     return u
 
 
@@ -190,6 +221,41 @@ def _pnorm2(x):
     return jnp.sqrt(s / n)
 
 
+_KIND_TO_NODE = {"penalty": "penalty_parameter_coarsening",
+                 "polynomial": "polynomial_coarsening",
+                 "geometric": "geometric_coarsening"}
+
+
+def shardable_device_counts(levels):
+    """Device counts every level's Nj divides over (for error messages)."""
+    njs = [l.Nj for l in levels]
+    top = min(njs)
+    return [d for d in range(1, top + 1) if all(nj % d == 0 for nj in njs)]
+
+
+def _level_smoother_cfgs(transfer_kinds, settings, pre_iters=None,
+                         post_iters=None):
+    """Per-level (pre, post) SmootherConfig pairs from the paramfile.
+
+    Level k > 0 smooths with the configs of the coarsening type *beneath*
+    it (transfer k-1), exactly like the single-chip MultigridSolver
+    (multigrid.py v_cycle / reference solver.py:143-147).  Optional
+    pre/post iteration overrides apply to every level (back-compat knob).
+    """
+    from dgtpu.solvers.multigrid import SmootherConfig
+    cfgs = [None]                     # level 0 smooths only as coarse solver
+    for kind in transfer_kinds:
+        node = getattr(settings.solver.multigrid, _KIND_TO_NODE[kind])
+        pre = SmootherConfig.from_settings(node.pre_smoother)
+        post = SmootherConfig.from_settings(node.post_smoother)
+        if pre_iters is not None:
+            pre.iterations = int(pre_iters)
+        if post_iters is not None:
+            post.iterations = int(post_iters)
+        cfgs.append((pre, post))
+    return cfgs
+
+
 class ShardedMultigrid:
     """Sharded Poisson multigrid over a 1D device mesh.
 
@@ -197,19 +263,28 @@ class ShardedMultigrid:
     transfers) and geometric (h) coarsening: the 2x2 agglomeration is
     shard-local because each device owns whole coarse-element rows — the
     transfer needs no communication either, provided every level's Nj
-    divides over the mesh.  Smoothing is red-black GS; the coarsest level
-    is a replicated dense solve (one all_gather per visit).
+    divides over the mesh.  Smoother kind, direction, iterations and
+    relaxation factor come from the per-coarsening paramfile nodes like
+    the single-chip solver; Gauss-Seidel names run red-black (the
+    documented parallel deviation), Jacobi names run damped block-Jacobi.
+    The coarsest level follows ``coarse grid solver``: direct/amg = one
+    replicated dense solve per visit (all_gather), smoother = 10 sweeps.
     """
 
     def __init__(self, levels, transfers, settings, mesh=None,
-                 pre_iters=2, post_iters=1):
+                 pre_iters=None, post_iters=None):
         self.mesh = mesh if mesh is not None else make_mesh()
         n_dev = self.mesh.devices.size
         self.dims = [(l.Ni, l.Nj) for l in levels]
         self.Ni, self.Nj = self.dims[-1]
         for (ni, nj) in self.dims:
             if nj % n_dev:
-                raise ValueError(f"Nj={nj} must divide over {n_dev} devices")
+                ok = shardable_device_counts(levels)
+                raise ValueError(
+                    f"level with Nj={nj} element rows does not divide over "
+                    f"{n_dev} devices; with this hierarchy "
+                    f"(Nj per level: {[d[1] for d in self.dims]}) the usable "
+                    f"device counts are {ok}")
         for t in transfers:
             if t.kind not in ("polynomial", "penalty", "geometric"):
                 raise NotImplementedError(
@@ -217,25 +292,33 @@ class ShardedMultigrid:
                     f"(got {t.kind})")
         self.levels = levels
         self.transfer_meta = [(t.kind, getattr(t, "cf_f", 1)) for t in transfers]
-        self.pre_iters, self.post_iters = pre_iters, post_iters
+        self.cfgs = _level_smoother_cfgs([t.kind for t in transfers], settings,
+                                         pre_iters, post_iters)
+        from dgtpu.ops.smoothers import SMOOTHER_ALIASES
+        for pair in self.cfgs[1:]:
+            for cfg in pair:
+                if SMOOTHER_ALIASES[cfg.name] not in ("gs", "gs_rb", "jacobi"):
+                    raise ValueError(
+                        f"smoother {cfg.name!r} is not supported in sharded "
+                        "mode (Gauss-Seidel and Jacobi families only)")
         self.blocks = [reshape_level(l.op, ni, nj)
                        for l, (ni, nj) in zip(levels, self.dims)]
         from dgtpu.ops.linalg import host_inv
         self.Dinv = [host_inv(b[:, :, 0]) for b in self.blocks]
-        # color-packed sweeps (possible when the local band has an even
-        # number of rows so the checkerboard is shard-invariant)
-        self.pack_host = []
-        for (ni, nj), b, d in zip(self.dims, self.blocks, self.Dinv):
-            nj_loc = nj // n_dev
-            self.pack_host.append(ShardColorPack(b, d, nj_loc, ni)
-                                  if nj_loc % 2 == 0 else None)
-        self._pack_consts = [(tuple(p.idx), tuple(p.off_nbr))
-                             if p is not None else None
-                             for p in self.pack_host]
+        # color-packed sweeps (per-shard index sets; any rows-per-shard)
+        self.pack_host = [ShardColorPack(b, d, nj // n_dev, ni)
+                          for (ni, nj), b, d in
+                          zip(self.dims, self.blocks, self.Dinv)]
         self.R = [t.R for t in transfers]
         self.Pr = [t.P for t in transfers]
-        from dgtpu.ops.linalg import host_lu_inverse
-        self.coarse_inv = host_lu_inverse(levels[0].op.to_dense())
+        self.coarse_solver = str(settings.solver.multigrid.coarse_grid_solver)
+        if self.coarse_solver in ("direct", "amg"):
+            # same collapse as the single-chip solver: the coarsest system is
+            # small, a cached dense inverse beats an AMG setup there
+            from dgtpu.ops.linalg import host_lu_inverse
+            self.coarse_inv = host_lu_inverse(levels[0].op.to_dense())
+        else:
+            self.coarse_inv = jnp.zeros((1, 1), dtype=self.blocks[0].dtype)
         self.colors = []
         for (ni, nj) in self.dims:
             i = jnp.arange(ni)[None, :]
@@ -267,18 +350,29 @@ class ShardedMultigrid:
             return v.reshape(njc_loc * cf, nic * cf, B)
         return v
 
-    def _smooth(self, k, data, rhs, u, n_pass):
+    def _smooth(self, k, data, rhs, u, cfg, iterations=None):
+        from dgtpu.ops.smoothers import SMOOTHER_ALIASES
         blocks, Dinv, colors, coarse_inv, packs = data
-        pc = self._pack_consts[k]
-        if pc is not None:
-            return _rb_gs_sweep_packed(pc, packs[k][0], packs[k][1],
-                                       rhs, u, n_pass=n_pass)
-        return _rb_gs_sweep(blocks[k], Dinv[k], rhs, u, colors[k],
-                            n_pass=n_pass)
+        iters = int(iterations if iterations is not None else cfg.iterations)
+        if SMOOTHER_ALIASES[cfg.name] == "jacobi":
+            for _ in range(iters):
+                u = _block_jacobi_sweep(blocks[k], Dinv[k], rhs, u,
+                                        omega=cfg.omega)
+            return u
+        # GS family: red-black colored (symmetric = 2 color passes/iteration,
+        # matching ops.smoothers.block_gauss_seidel redblack semantics)
+        n_pass = iters * (2 if cfg.direction == "symmetric" else 1)
+        return _rb_gs_sweep_packed(packs[k], rhs, u, omega=cfg.omega,
+                                   n_pass=n_pass)
 
     def _v_cycle(self, k, data, rhs, u):
         blocks, Dinv, colors, coarse_inv, packs = data
         if k == 0:
+            if self.coarse_solver not in ("direct", "amg"):
+                # 10 sweeps of the lowest coarsening type's pre-smoother
+                # (reference solver.py:199-203 semantics)
+                pre, _ = self.cfgs[1]
+                return self._smooth(0, data, rhs, u, pre, iterations=10)
             # replicated coarse solve: gather the full coarse residual
             r_full = jax.lax.all_gather(rhs, AXIS, axis=0, tiled=True)
             e_full = (coarse_inv @ r_full.reshape(-1)).reshape(r_full.shape)
@@ -286,12 +380,13 @@ class ShardedMultigrid:
             idx = jax.lax.axis_index(AXIS)
             nj_loc = rhs.shape[0]
             return jax.lax.dynamic_slice_in_dim(e_full, idx * nj_loc, nj_loc, 0)
-        u = self._smooth(k, data, rhs, u, 2 * self.pre_iters)
+        pre, post = self.cfgs[k]
+        u = self._smooth(k, data, rhs, u, pre)
         r = rhs - _matvec_with_halo(blocks[k], u)
         r_c = self._restrict(k, r)
         e_c = self._v_cycle(k - 1, data, r_c, jnp.zeros_like(r_c))
         u = u + self._prolong(k, e_c)
-        u = self._smooth(k, data, rhs, u, 2 * self.post_iters)
+        u = self._smooth(k, data, rhs, u, post)
         return u
 
     def build(self):
@@ -300,10 +395,7 @@ class ShardedMultigrid:
         mesh = self.mesh
         n_lev = len(self.levels)
         spec = P(AXIS)
-        pack_specs = tuple(
-            (tuple(P(AXIS) for _ in p.off_blocks),
-             tuple(P(AXIS) for _ in p.Dinv)) if p is not None else ((), ())
-            for p in self.pack_host)
+        pack_specs = tuple(p.specs() for p in self.pack_host)
         data_specs = (tuple(P(AXIS) for _ in self.blocks),
                       tuple(P(AXIS) for _ in self.Dinv),
                       tuple(P(AXIS) for _ in self.colors), P(), pack_specs)
@@ -350,8 +442,7 @@ class ShardedMultigrid:
             sh = NamedSharding(self.mesh, P(AXIS))
             rhs = jax.device_put(rhs, sh)
             u0 = jax.device_put(u0, sh)
-            packs = tuple(p.tree() if p is not None else ((), ())
-                          for p in self.pack_host)
+            packs = tuple(p.tree() for p in self.pack_host)
             args = (tuple(self.blocks), tuple(self.Dinv), tuple(self.colors),
                     self.coarse_inv, packs)
             u, res, n, hist = self._built(*args, rhs, u0)

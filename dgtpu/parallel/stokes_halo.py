@@ -122,8 +122,7 @@ def _rb_bgs_DG(D, G, DG_diag, DG_Dinv, colors, rhs, p, n_pass):
     return p
 
 
-def _dgs_sweep(data, f_mom, f_cont, uv, p, n_pass=2, apack=None,
-               apack_consts=None):
+def _dgs_sweep(data, f_mom, f_cont, uv, p, n_pass=2, apack=None):
     """One distributive-GS (lsq splitting) sweep — stencil/halo form of
     ``DistributiveGS.sweep`` (models/stokes.py; relaxation.py:220-441).
 
@@ -134,8 +133,7 @@ def _dgs_sweep(data, f_mom, f_cont, uv, p, n_pass=2, apack=None,
 
     def bgs_A(rhs, x):
         if apack is not None:
-            return _rb_gs_sweep_packed(apack_consts, apack[0], apack[1],
-                                       rhs, x, n_pass=n_pass)
+            return _rb_gs_sweep_packed(apack, rhs, x, n_pass=n_pass)
         return _rb_bgs_A(A, A_Dinv, colors, rhs, x, n_pass)
 
     rhs_mom = f_mom - _matvec(A, uv) - _matvec(G, p)
@@ -172,30 +170,38 @@ class ShardedStokesMultigrid:
     (element-local, communication-free).
     """
 
-    def __init__(self, levels, settings, mesh=None, pre_iters=1, post_iters=1,
-                 smoother_passes=2):
+    def __init__(self, levels, settings, mesh=None, pre_iters=None,
+                 post_iters=None, smoother_passes=2):
         self.mesh = mesh if mesh is not None else make_mesh()
         n_dev = self.mesh.devices.size
         self.levels = levels
         self.Ni, self.Nj = levels[-1].Ni, levels[-1].Nj
         if self.Nj % n_dev:
-            raise ValueError(f"Nj={self.Nj} must divide over {n_dev} devices")
+            from dgtpu.parallel.halo import shardable_device_counts
+            raise ValueError(
+                f"Nj={self.Nj} element rows does not divide over {n_dev} "
+                f"devices; usable device counts for this grid are "
+                f"{shardable_device_counts(levels)}")
         for l in levels:
             if (l.Ni, l.Nj) != (self.Ni, self.Nj):
                 raise NotImplementedError(
                     "sharded Stokes supports p-/penalty-coarsening "
                     "(element counts equal across levels)")
         self.data = [_LevelData(l) for l in levels]
-        self.pre_iters, self.post_iters = pre_iters, post_iters
+        # pre/post sweep counts per level from the paramfile (the smoother
+        # *kind* is structurally DGS here — cell-Vanka diverges, see module
+        # docstring — so other configured kinds are warned about in the api)
+        kinds = []
+        for lo, hi in zip(levels[:-1], levels[1:]):
+            same = (lo.P_sol["u"], lo.P_sol["p"]) == (hi.P_sol["u"], hi.P_sol["p"])
+            kinds.append("penalty" if same else "polynomial")
+        from dgtpu.parallel.halo import _level_smoother_cfgs
+        self.cfgs = _level_smoother_cfgs(kinds, settings, pre_iters, post_iters)
         self.n_pass = smoother_passes
-        # per-level color packing of the velocity stencil (even local bands)
+        # per-level color packing of the velocity stencil (any local band)
         nj_loc = self.Nj // n_dev
         self.a_packs = [ShardColorPack(d.A, d.A_Dinv, nj_loc, d.Ni)
-                        if nj_loc % 2 == 0 else None
                         for d in self.data]
-        self._apack_consts = [(tuple(pk.idx), tuple(pk.off_nbr))
-                              if pk is not None else None
-                              for pk in self.a_packs]
 
         # element-local component transfers between consecutive levels
         self.Ruv, self.Puv, self.Rp, self.Pp = [], [], [], []
@@ -253,11 +259,11 @@ class ShardedStokesMultigrid:
         if k == 0:
             return self._coarse_solve(coarse_inv, f_mom, f_cont)
         data = datas[k]
-        apack = apacks[k] if self._apack_consts[k] is not None else None
-        consts = self._apack_consts[k]
-        for _ in range(self.pre_iters):
+        apack = apacks[k]
+        pre, post = self.cfgs[k]
+        for _ in range(pre.iterations):
             uv, p = _dgs_sweep(data, f_mom, f_cont, uv, p, self.n_pass,
-                               apack=apack, apack_consts=consts)
+                               apack=apack)
         r_mom, r_cont = _saddle_residual(data, f_mom, f_cont, uv, p)
         Ruv, Rp = Rs[k - 1]
         fc_mom = jnp.einsum("ab,jib->jia", Ruv, r_mom)
@@ -268,9 +274,9 @@ class ShardedStokesMultigrid:
         Puv, Pp = Ps[k - 1]
         uv = uv + jnp.einsum("ab,jib->jia", Puv, e_uv)
         p = p + jnp.einsum("ab,jib->jia", Pp, e_p)
-        for _ in range(self.post_iters):
+        for _ in range(post.iterations):
             uv, p = _dgs_sweep(data, f_mom, f_cont, uv, p, self.n_pass,
-                               apack=apack, apack_consts=consts)
+                               apack=apack)
         return uv, p
 
     def build(self):
@@ -282,10 +288,7 @@ class ShardedStokesMultigrid:
         datas = [d.tree() for d in self.data]
         data_specs = tuple(tuple(P(AXIS) for _ in d) for d in datas)
         Rs_specs = tuple((P(), P()) for _ in self.Ruv)
-        apack_specs = tuple(
-            (tuple(P(AXIS) for _ in pk.off_blocks),
-             tuple(P(AXIS) for _ in pk.Dinv)) if pk is not None else ((), ())
-            for pk in self.a_packs)
+        apack_specs = tuple(pk.specs() for pk in self.a_packs)
 
         def solve_local(datas, coarse_inv, Rs, Ps, apacks, f_mom, f_cont,
                         uv0, p0):
@@ -354,9 +357,7 @@ class ShardedStokesMultigrid:
                           for d in self.data)
             Rs = tuple((r, rp) for r, rp in zip(self.Ruv, self.Rp))
             Ps = tuple((pu, pp) for pu, pp in zip(self.Puv, self.Pp))
-            apacks = tuple((tuple(pk.off_blocks), tuple(pk.Dinv))
-                           if pk is not None else ((), ())
-                           for pk in self.a_packs)
+            apacks = tuple(pk.tree() for pk in self.a_packs)
             uv, p, res, n, hist = self._built(datas, self.coarse_inv, Rs, Ps,
                                               apacks, *args)
         hist = np.asarray(hist)
