@@ -335,7 +335,10 @@ class DGFEM:
                 u_modal = synchronize(solve_krylov(finest, s))
             elif method == "pyamg":
                 from dgtpu.solvers.amg import solve_amg
-                u_modal, info = solve_amg(finest.op, finest.rhs)
+                variant = str(getattr(getattr(s.solver, "amg", None),
+                                      "variant", "sa"))
+                u_modal, info = solve_amg(finest.op, finest.rhs,
+                                          variant=variant)
                 u_modal = synchronize(u_modal)
             elif method == "finite_volume_method":
                 from dgtpu.solvers.direct import solve_direct

@@ -596,6 +596,100 @@ class DistributiveGS:
         return jnp.concatenate([u_k + du, p_k + dp])
 
 
+class StencilDGS:
+    """lsq-splitting distributive GS in 5-point stencil (rolled) form.
+
+    Single-chip counterpart of ``parallel/stokes_halo._dgs_sweep``: the same
+    algorithm with the j-halo ppermute exchanges replaced by rolled-layout
+    shifts.  Nothing dense is ever materialized — round-1's DistributiveGS
+    built dense A and D@G at O((N*B)^2), which caps the reachable problem
+    size; here DG applies as two composed stencil matvecs and only the
+    per-element diagonal blocks are inverted (host LAPACK at setup).
+
+    Component solves are red-black colored block-GS passes — the documented
+    parallel/TPU deviation from the reference's lexicographic dense sweeps
+    (relaxation.py:220-441); the dense sequential form remains available as
+    ``splitting='lsq_dense'``.
+    """
+
+    def __init__(self, level, n_pass=2):
+        from dgtpu.ops import rolled
+        from dgtpu.ops.linalg import host_inv
+        from dgtpu.parallel.stokes_halo import _dg_diag_blocks
+        if level.block_A is None:
+            raise ValueError("Distributive GS needs a global-order Stokes assembly")
+        self.n, self.nu = level.N, level.N_DOF_sol["u"]
+        self.npd = level.N_DOF_sol["p"]
+        self.Ni, self.Nj = level.Ni, level.Nj
+        self.n_pass = n_pass
+        Ni, Nj = self.Ni, self.Nj
+        self.A = rolled.to_rolled(level.block_A, Ni, Nj)
+        self.D = rolled.to_rolled(level.block_D, Ni, Nj)
+        self.G = rolled.to_rolled(level.block_G, Ni, Nj)
+        self.A_Dinv = host_inv(self.A[:, :, 0])
+        dg_diag = _dg_diag_blocks(level.block_D, level.block_G)
+        self.DG_diag = jnp.asarray(dg_diag).reshape(Nj, Ni, self.npd, self.npd)
+        self.DG_Dinv = host_inv(self.DG_diag)
+        self.colors = rolled.checkerboard(Nj, Ni)
+
+    def _bgs(self, blocks, Dinv, rhs, x):
+        from dgtpu.ops import rolled
+        for _ in range(self.n_pass):
+            for c in (0, 1):
+                off = rolled.offdiag_matvec(blocks, x)
+                xn = rolled.bmv(Dinv, rhs - off)
+                x = jnp.where((self.colors == c)[:, :, None], xn, x)
+        return x
+
+    def _bgs_dg(self, rhs, p):
+        from dgtpu.ops import rolled
+        for _ in range(self.n_pass):
+            for c in (0, 1):
+                off = (rolled.matvec(self.D, rolled.matvec(self.G, p))
+                       - rolled.bmv(self.DG_diag, p))
+                pn = rolled.bmv(self.DG_Dinv, rhs - off)
+                p = jnp.where((self.colors == c)[:, :, None], pn, p)
+        return p
+
+    def sweep(self, rhs, x):
+        """One distributive GS iteration on the global vector [u; v; p]."""
+        from dgtpu.ops import rolled
+        n, nu, npd = self.n, self.nu, self.npd
+        Nj, Ni = self.Nj, self.Ni
+        idx_u = 2 * n * nu
+        uv = _global_uv_to_elem(x[:idx_u], n, nu).reshape(Nj, Ni, 2 * nu)
+        p = x[idx_u:].reshape(Nj, Ni, npd)
+        f_mom = _global_uv_to_elem(rhs[:idx_u], n, nu).reshape(Nj, Ni, 2 * nu)
+        f_cont = rhs[idx_u:].reshape(Nj, Ni, npd)
+
+        rhs_mom = f_mom - rolled.matvec(self.A, uv) - rolled.matvec(self.G, p)
+        du_s = self._bgs(self.A, self.A_Dinv, rhs_mom, jnp.zeros_like(uv))
+        rhs_cont = f_cont - rolled.matvec(self.D, uv + du_s)
+        dp_s = self._bgs_dg(rhs_cont, jnp.zeros_like(p))
+        G_dp = rolled.matvec(self.G, dp_s)
+        du = du_s + G_dp
+        rhs_dg = -rolled.matvec(self.D, rolled.matvec(self.A, G_dp))
+        dp = self._bgs_dg(rhs_dg, jnp.zeros_like(p))
+
+        uv_g = _elem_uv_to_global((uv + du).reshape(-1), n, nu)
+        return jnp.concatenate([uv_g, (p + dp).reshape(-1)])
+
+
+def make_dgs(level, splitting="lsq"):
+    """Distributive-GS smoother factory.
+
+    ``lsq`` (the reference default) runs in stencil/rolled form with no
+    dense operators; ``lsq_dense`` keeps round-1's dense sequential-sweep
+    variant (parity/testing); the ``classical*`` Schur splittings are
+    structurally dense (they need (an approximation of) A^-1).
+    """
+    if splitting == "lsq":
+        return StencilDGS(level)
+    if splitting == "lsq_dense":
+        return DistributiveGS(level, splitting="lsq")
+    return DistributiveGS(level, splitting=splitting)
+
+
 def distributive_gauss_seidel_solve(level, rhs, u0=None, splitting="lsq",
                                     max_iterations=1000, tol=1e-6, div_tol=1e10):
     """Residual-tracked distributive GS solve (relaxation.py:236-283).
@@ -603,7 +697,7 @@ def distributive_gauss_seidel_solve(level, rhs, u0=None, splitting="lsq",
     Returns (u, residual_history, n, status) with status 0/1/2 as in the
     relaxation driver.
     """
-    dgs = DistributiveGS(level, splitting=splitting)
+    dgs = make_dgs(level, splitting)
     op = level.op
     if u0 is None:
         u0 = jnp.zeros_like(rhs)

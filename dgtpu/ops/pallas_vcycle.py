@@ -92,11 +92,20 @@ class PallasVCycle:
             nj0, ni0 = self.dims[0]
             B0 = self.blocks[0].shape[-1]
             inv = host_lu_inverse(ops[0].to_dense()).astype(dtype)
-            # (j, i, J, I, a, b) blocked layout for per-tile accumulation
-            self.coarse_inv6 = (inv.reshape(nj0, ni0, B0, nj0, ni0, B0)
-                                .transpose(0, 1, 3, 4, 2, 5))
+            # column-blocked layout (M_src, nj, ni, B_dst, B_src): slice m
+            # scales source cell m's rhs into the whole coarse grid.  The
+            # solve is then a fori_loop of M bmv-accumulations with dynamic
+            # leading-dim ref indexing — compile size O(1) in the grid (the
+            # round-1 statically unrolled double loop made Mosaic compile
+            # time explode beyond the 8x8 flagship).
+            import numpy as np
+            M0 = nj0 * ni0
+            inv_col = (np.asarray(inv).reshape(M0, B0, M0, B0)
+                       .transpose(2, 0, 1, 3)
+                       .reshape(M0, nj0, ni0, B0, B0))
+            self.coarse_inv_col = jnp.asarray(inv_col)
         else:
-            self.coarse_inv6 = None
+            self.coarse_inv_col = None
         self._cfg = {}
         for t in set(types):
             node = getattr(settings.solver.multigrid, f"{t}_coarsening")
@@ -139,20 +148,24 @@ class PallasVCycle:
                                    preferred_element_type=e.dtype)
 
     def _coarse_solve(self, consts, rhs, u):
-        blocks, Dinv, masks, Rs, Ps, inv6 = consts
+        blocks, Dinv, masks, Rs, Ps, inv_col = consts
         nj, ni = self.dims[0]
-        if inv6 is None:
+        if inv_col is None:
             # 10 iterations of the pre-smoother (solver.py:199-204 semantics)
             return rolled.rb_gs_sweeps_masked(blocks[0], Dinv[0], rhs, u,
                                               masks[0], 20)
-        acc = jnp.zeros_like(rhs)
-        for J in range(nj):
-            for I in range(ni):
-                acc = acc + rolled.bmv(inv6[:, :, J, I], rhs[J, I])
-        return acc
+        # inv_col may be a Pallas Ref (dynamic leading-dim indexing inside
+        # the loop) or a plain array (XLA build) — same indexing either way
+        B = rhs.shape[-1]
+        rhs_flat = rhs.reshape(nj * ni, B)      # leading-dim merge (Mosaic-ok)
+
+        def body(m, acc):
+            return acc + rolled.bmv(inv_col[m], rhs_flat[m])
+
+        return jax.lax.fori_loop(0, nj * ni, body, jnp.zeros_like(rhs))
 
     def _cycle(self, k, consts, rhs, u):
-        blocks, Dinv, masks, Rs, Ps, inv6 = consts
+        blocks, Dinv, masks, Rs, Ps, inv_col = consts
         if k == 0:
             return self._coarse_solve(consts, rhs, u)
         pre, post = self._cfg[self.types[k - 1]]
@@ -170,7 +183,7 @@ class PallasVCycle:
     def build(self):
         n_lev = self.n_lev
         n_tr = n_lev - 1
-        has_inv = self.coarse_inv6 is not None
+        has_inv = self.coarse_inv_col is not None
         n_inputs = 2 + 3 * n_lev + 2 * n_tr + (1 if has_inv else 0)
 
         def kernel(*refs):
@@ -181,9 +194,11 @@ class PallasVCycle:
             masks = [refs[off + k][:] for k in range(n_lev)]; off += n_lev
             Rs = [refs[off + k][:] for k in range(n_tr)]; off += n_tr
             Ps = [refs[off + k][:] for k in range(n_tr)]; off += n_tr
-            inv6 = refs[off][:] if has_inv else None
+            # the coarse inverse stays a Ref: the fori_loop coarse solve
+            # slices one column tile per iteration (dynamic leading index)
+            inv_col = refs[off] if has_inv else None
             out_ref = refs[-1]
-            consts = (blocks, Dinv, masks, Rs, Ps, inv6)
+            consts = (blocks, Dinv, masks, Rs, Ps, inv_col)
             out_ref[:] = self._cycle(n_lev - 1, consts, rhs_ref[:], u_ref[:])
 
         nj, ni = self.dims[-1]
@@ -205,7 +220,7 @@ class PallasVCycle:
 
         consts = (*self.blocks, *self.Dinv, *self.masks, *self.R, *self.P)
         if has_inv:
-            consts = (*consts, self.coarse_inv6)
+            consts = (*consts, self.coarse_inv_col)
 
         @jax.jit
         def one_cycle(rhs, u):
@@ -226,7 +241,7 @@ class PallasVCycle:
         nj, ni = self.dims[-1]
         B = self.blocks[-1].shape[-1]
         consts = (list(self.blocks), list(self.Dinv), list(self.masks),
-                  list(self.R), list(self.P), self.coarse_inv6)
+                  list(self.R), list(self.P), self.coarse_inv_col)
 
         @jax.jit
         def one_cycle(rhs, u):
@@ -241,8 +256,8 @@ class PallasVCycle:
         for name in ("blocks", "Dinv", "masks", "R", "P"):
             setattr(self, name, [jax.device_put(x, device)
                                  for x in getattr(self, name)])
-        if self.coarse_inv6 is not None:
-            self.coarse_inv6 = jax.device_put(self.coarse_inv6, device)
+        if self.coarse_inv_col is not None:
+            self.coarse_inv_col = jax.device_put(self.coarse_inv_col, device)
         return self
 
     def __call__(self, rhs, u):

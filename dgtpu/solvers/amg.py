@@ -83,6 +83,112 @@ def _rho_dinv_a(A, n_iter=30, seed=0):
     return float(lam)
 
 
+def _rs_strength(A, theta=0.25):
+    """Classical strength of connection, absolute-value variant.
+
+    i strongly depends on j when |a_ij| >= theta * max_{k != i} |a_ik|.
+    (pyamg's default uses the signed -a_ij form, which assumes an M-matrix;
+    SIP-DG operators carry positive off-diagonal entries, where the
+    absolute-value variant is the robust choice.)
+    """
+    off = np.abs(A.copy())
+    np.fill_diagonal(off, 0.0)
+    row_max = off.max(axis=1)
+    S = np.zeros(A.shape, dtype=bool)
+    nz = row_max > 0
+    S[nz] = off[nz] >= theta * row_max[nz, None]
+    np.fill_diagonal(S, False)
+    return S
+
+
+def _cf_split(S):
+    """Standard RS first-pass C/F splitting (greedy by influence count).
+
+    lambda_i = number of points that strongly depend on i; repeatedly pick
+    the max-lambda unassigned point as C, mark its dependents F, and bump
+    the weight of each new F point's other influences.
+    """
+    n = S.shape[0]
+    ST = S.T.copy()                      # ST[i, j]: j strongly depends on i
+    lam = ST.sum(axis=1).astype(np.float64)
+    state = np.zeros(n, dtype=np.int8)   # 0 unassigned, 1 C, -1 F
+    order_bias = 1e-9 * np.arange(n)     # deterministic tie-break
+    for _ in range(n):
+        un = state == 0
+        if not un.any():
+            break
+        cand = np.where(un, lam + order_bias, -np.inf)
+        i = int(np.argmax(cand))
+        state[i] = 1
+        dependents = np.nonzero(ST[i] & (state == 0))[0]
+        state[dependents] = -1
+        for f in dependents:
+            # influences of the new F point become more valuable
+            lam[np.nonzero(S[f] & (state == 0))[0]] += 1
+        lam[i] = -np.inf
+    # isolated leftovers become C points
+    state[state == 0] = 1
+    return state == 1
+
+
+def _rs_direct_interpolation(A, S, is_C):
+    """Direct interpolation: w_ij = -(a_ij/a_ii) * (sum_N a_ik)/(sum_C a_ij').
+
+    Positive and negative couplings are scaled separately (pyamg
+    direct_interpolation semantics) so non-M-matrix rows still interpolate
+    the constant exactly.
+    """
+    n = A.shape[0]
+    C_idx = np.nonzero(is_C)[0]
+    col_of = -np.ones(n, dtype=np.int64)
+    col_of[C_idx] = np.arange(len(C_idx))
+    P = np.zeros((n, len(C_idx)))
+    P[C_idx, col_of[C_idx]] = 1.0
+    for i in np.nonzero(~is_C)[0]:
+        Ci = np.nonzero(S[i] & is_C)[0]
+        if len(Ci) == 0:
+            continue                      # no strong C neighbor: F point gets 0
+        row = A[i]
+        nbrs = np.nonzero(row)[0]
+        nbrs = nbrs[nbrs != i]
+        neg_all = row[nbrs][row[nbrs] < 0].sum()
+        pos_all = row[nbrs][row[nbrs] > 0].sum()
+        neg_C = row[Ci][row[Ci] < 0].sum()
+        pos_C = row[Ci][row[Ci] > 0].sum()
+        alpha = neg_all / neg_C if neg_C != 0 else 0.0
+        beta = pos_all / pos_C if pos_C != 0 else 0.0
+        # unmatched positive mass folds into the diagonal (pyamg behavior)
+        diag = A[i, i] + (pos_all if pos_C == 0 else 0.0)
+        for j in Ci:
+            w = -(alpha * row[j] if row[j] < 0 else beta * row[j]) / diag
+            P[i, col_of[j]] = w
+    return P
+
+
+def _rs_hierarchy(A, theta=0.25, max_coarse=40, max_levels=10):
+    """Classical Ruge-Stuben setup: list of (A_l, P_l, rho_l), finest first.
+
+    Reference capability: pyamg.ruge_stuben_solver (solver.py:68-77),
+    re-implemented self-contained (pyamg is not installed here).
+    """
+    levels = []
+    A_l = A
+    for _ in range(max_levels):
+        n = A_l.shape[0]
+        if n <= max_coarse:
+            break
+        S = _rs_strength(A_l, theta)
+        is_C = _cf_split(S)
+        n_c = int(is_C.sum())
+        if n_c >= n or n_c == 0:
+            break
+        P = _rs_direct_interpolation(A_l, S, is_C)
+        rho = _rho_dinv_a(A_l)
+        levels.append((A_l, P, rho))
+        A_l = P.T @ A_l @ P
+    return levels, A_l
+
+
 def _sa_hierarchy(A, max_coarse=40, max_levels=10, omega=4.0 / 3.0):
     """Smoothed-aggregation setup: list of (A_l, P_l, rho_l), finest first."""
     levels = []
@@ -108,14 +214,22 @@ def _sa_hierarchy(A, max_coarse=40, max_levels=10, omega=4.0 / 3.0):
     return levels, A_l
 
 
-def build_sa_cycle(op):
-    """SA setup on ``op``; returns (cycle(b, x) one-V-cycle applier, A dense).
+def build_sa_cycle(op, variant="sa"):
+    """AMG setup on ``op``; returns (cycle(b, x) one-V-cycle applier, A dense).
 
-    Usable directly (solve_amg's inner loop) or as a preconditioner
-    application inside Krylov solvers.
+    ``variant``: 'sa' (smoothed aggregation, dgtpu default — the stronger
+    algorithm on these operators) or 'rs' (classical Ruge-Stuben, the
+    reference's literal pyamg choice, solver.py:68-77).  Usable directly
+    (solve_amg's inner loop) or as a preconditioner application inside
+    Krylov solvers.
     """
     A = np.asarray(as_dense_operator(op).A)
-    levels, A_coarse = _sa_hierarchy(A)
+    if variant == "rs":
+        levels, A_coarse = _rs_hierarchy(A)
+    elif variant == "sa":
+        levels, A_coarse = _sa_hierarchy(A)
+    else:
+        raise ValueError(f"solver.amg.variant must be 'sa' or 'rs', got {variant!r}")
     A_coarse_inv = jnp.asarray(np.linalg.inv(A_coarse))
     dev = [(jnp.asarray(Al), jnp.asarray(P), jnp.asarray(1.0 / np.diag(Al)),
             rho) for Al, P, rho in levels]
@@ -173,12 +287,12 @@ def build_sa_cycle(op):
     return (lambda b, x: v_cycle(0, b, x)), A
 
 
-def solve_amg(op, rhs, tol=1e-6, maxiter=1000):
+def solve_amg(op, rhs, tol=1e-6, maxiter=1000, variant="sa"):
     """AMG solve to relative tolerance (reference: solver.py:68-77).
 
     Returns (u, info-dict with residual history).
     """
-    cycle, A = build_sa_cycle(op)
+    cycle, A = build_sa_cycle(op, variant=variant)
     res = _try_pyamg(A, rhs, tol, maxiter)
     if res is not None:
         return res

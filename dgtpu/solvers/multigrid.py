@@ -95,11 +95,11 @@ class MultigridSolver:
         if uses_dgs:
             if levels is None:
                 raise ValueError("distributive GS smoothing needs GridLevels")
-            from dgtpu.models.stokes import DistributiveGS
+            from dgtpu.models.stokes import make_dgs
             splitting = getattr(getattr(settings, "performance", None),
                                 "dgs_splitting", "classical_exact")
             for k, lvl in enumerate(levels):
-                self._dgs[k] = DistributiveGS(lvl, splitting=splitting)
+                self._dgs[k] = make_dgs(lvl, splitting)
         self._solve_jit = None
 
     # -- one V-cycle (statically unrolled recursion) -------------------------

@@ -292,3 +292,40 @@ def test_nonfinite_residual_reports_diverged(base_settings):
     _, _, _, status = residual_tracked_smoother(
         op, bad_rhs, name="block_gauss_seidel", max_iterations=5)
     assert int(status) == 2
+
+
+@pytest.mark.parametrize("variant", ["sa", "rs"])
+def test_amg_variants_converge(base_settings, variant):
+    """Both AMG variants solve the p<=2 SIP operator: sa (dgtpu default) and
+    rs (the reference's literal pyamg Ruge-Stuben choice, solver.py:68-77)."""
+    from dgtpu.solvers.amg import solve_amg
+
+    base_settings.update_setting("grid.polynomial_degree", 2)
+    geom = Geometry(os.path.join(INPUT_DIR, "Rectangle_8X8_nPoly2.xyz"),
+                    base_settings)
+    lvl = GridLevel(geom, base_settings, ["u"], {"u": 2})
+    mms = ManufacturedSolution({"u": "sin(pi*x)*sin(pi*y)"}, "Poisson", 1.0)
+    lvl.op, rhs, _ = assemble_poisson(lvl, mms)
+    u, info = solve_amg(lvl.op, rhs, variant=variant)
+    assert info["info"] == 0, f"{variant} AMG did not converge"
+    r = np.asarray(rhs) - np.asarray(lvl.op.matvec(u))
+    assert np.linalg.norm(r) / np.linalg.norm(np.asarray(rhs)) < 1e-5
+
+
+def test_rs_interpolation_reproduces_constant(base_settings):
+    """Direct interpolation must interpolate the constant vector exactly on
+    rows with a strong C neighbor (the RS design invariant)."""
+    from dgtpu.solvers.amg import (_cf_split, _rs_direct_interpolation,
+                                   _rs_strength)
+
+    lvl, op, rhs = _setup(base_settings, n=4, p_grid=1, p_sol=1, premul=False)
+    A = np.asarray(op.to_dense())
+    S = _rs_strength(A)
+    is_C = _cf_split(S)
+    P = _rs_direct_interpolation(A, S, is_C)
+    assert 0 < is_C.sum() < A.shape[0]
+    ones_c = np.ones(int(is_C.sum()))
+    v = P @ ones_c
+    # C rows are exact; F rows with a strong C neighbor interpolate a
+    # row-sum-consistent value (exactly 1 for zero-row-sum interior rows)
+    assert np.allclose(v[is_C], 1.0)
