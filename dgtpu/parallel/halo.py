@@ -328,7 +328,7 @@ class ShardedMultigrid:
         self.max_cycles = int(settings.solver.multigrid.max_cycles)
         self._built = None
 
-    def _restrict(self, k, r):
+    def _restrict(self, k, R, r):
         """Level k residual -> level k-1 rhs (shard-local)."""
         kind, cf = self.transfer_meta[k - 1]
         if kind == "geometric":
@@ -336,13 +336,13 @@ class ShardedMultigrid:
             rows = r.reshape(nj_loc // cf, cf, ni // cf, cf, B)
             rows = rows.transpose(0, 2, 1, 3, 4).reshape(
                 nj_loc // cf, ni // cf, cf * cf * B)
-            return jnp.einsum("ab,jib->jia", self.R[k - 1], rows)
-        return jnp.einsum("ab,jib->jia", self.R[k - 1], r)
+            return jnp.einsum("ab,jib->jia", R, rows)
+        return jnp.einsum("ab,jib->jia", R, r)
 
-    def _prolong(self, k, e_c):
+    def _prolong(self, k, Pm, e_c):
         """Level k-1 correction -> level k (shard-local)."""
         kind, cf = self.transfer_meta[k - 1]
-        v = jnp.einsum("ab,jib->jia", self.Pr[k - 1], e_c)
+        v = jnp.einsum("ab,jib->jia", Pm, e_c)
         if kind == "geometric":
             njc_loc, nic, _ = e_c.shape
             B = v.shape[2] // (cf * cf)
@@ -352,7 +352,7 @@ class ShardedMultigrid:
 
     def _smooth(self, k, data, rhs, u, cfg, iterations=None):
         from dgtpu.ops.smoothers import SMOOTHER_ALIASES
-        blocks, Dinv, colors, coarse_inv, packs = data
+        blocks, Dinv, colors, coarse_inv, packs, Rs, Ps = data
         iters = int(iterations if iterations is not None else cfg.iterations)
         if SMOOTHER_ALIASES[cfg.name] == "jacobi":
             for _ in range(iters):
@@ -366,7 +366,7 @@ class ShardedMultigrid:
                                    n_pass=n_pass)
 
     def _v_cycle(self, k, data, rhs, u):
-        blocks, Dinv, colors, coarse_inv, packs = data
+        blocks, Dinv, colors, coarse_inv, packs, Rs, Ps = data
         if k == 0:
             if self.coarse_solver not in ("direct", "amg"):
                 # 10 sweeps of the lowest coarsening type's pre-smoother
@@ -383,9 +383,9 @@ class ShardedMultigrid:
         pre, post = self.cfgs[k]
         u = self._smooth(k, data, rhs, u, pre)
         r = rhs - _matvec_with_halo(blocks[k], u)
-        r_c = self._restrict(k, r)
+        r_c = self._restrict(k, Rs[k - 1], r)
         e_c = self._v_cycle(k - 1, data, r_c, jnp.zeros_like(r_c))
-        u = u + self._prolong(k, e_c)
+        u = u + self._prolong(k, Ps[k - 1], e_c)
         u = self._smooth(k, data, rhs, u, post)
         return u
 
@@ -398,11 +398,13 @@ class ShardedMultigrid:
         pack_specs = tuple(p.specs() for p in self.pack_host)
         data_specs = (tuple(P(AXIS) for _ in self.blocks),
                       tuple(P(AXIS) for _ in self.Dinv),
-                      tuple(P(AXIS) for _ in self.colors), P(), pack_specs)
+                      tuple(P(AXIS) for _ in self.colors), P(), pack_specs,
+                      tuple(P() for _ in self.R), tuple(P() for _ in self.Pr))
         tol, max_cycles = self.tol, self.max_cycles
 
-        def solve_local(blocks, Dinv, colors, coarse_inv, packs, rhs, u0):
-            data = (blocks, Dinv, colors, coarse_inv, packs)
+        def solve_local(blocks, Dinv, colors, coarse_inv, packs, Rs, Ps,
+                        rhs, u0):
+            data = (blocks, Dinv, colors, coarse_inv, packs, Rs, Ps)
             res0 = _pnorm2(rhs - _matvec_with_halo(blocks[-1], u0))
             hist0 = jnp.full((max_cycles + 1,), jnp.nan, dtype=rhs.dtype)
 
@@ -444,8 +446,102 @@ class ShardedMultigrid:
             u0 = jax.device_put(u0, sh)
             packs = tuple(p.tree() for p in self.pack_host)
             args = (tuple(self.blocks), tuple(self.Dinv), tuple(self.colors),
-                    self.coarse_inv, packs)
+                    self.coarse_inv, packs, tuple(self.R), tuple(self.Pr))
             u, res, n, hist = self._built(*args, rhs, u0)
+        hist = np.asarray(hist)
+        self.history = [float(r) for r in hist[np.isfinite(hist)]]
+        return grid_to_vec(u), float(res), int(n)
+
+    # -- mixed-precision refinement over the mesh ----------------------------
+
+    def _data32(self):
+        """Float32 casts of the cycle data (built once, cached)."""
+        if getattr(self, "_data32_cache", None) is None:
+            f32 = jnp.float32
+            packs32 = []
+            for p in self.pack_host:
+                packs32.append((tuple(b.astype(f32) for b in p.off_blocks),
+                                tuple(d.astype(f32) for d in p.Dinv),
+                                tuple(p.idx), tuple(p.off_nbr)))
+            self._data32_cache = (
+                tuple(b.astype(f32) for b in self.blocks),
+                tuple(d.astype(f32) for d in self.Dinv),
+                tuple(self.colors),
+                self.coarse_inv.astype(f32),
+                tuple(packs32),
+                tuple(r.astype(f32) for r in self.R),
+                tuple(pm.astype(f32) for pm in self.Pr))
+        return self._data32_cache
+
+    def build_refined(self, tol=1e-10, n_inner=6, max_outer=20):
+        """Sharded mixed-precision defect correction (solvers/refinement.py
+        composed with the mesh): the f64 defect matvec runs as a halo-
+        exchange stencil apply, the inner correction as n_inner f32 sharded
+        V-cycles — >95% of the work in native-speed float32 while the outer
+        loop reaches the 1e-10 BASELINE parity target.
+        """
+        shard_map = jax.shard_map
+        mesh = self.mesh
+        n_lev = len(self.levels)
+        spec = P(AXIS)
+        pack_specs = tuple(p.specs() for p in self.pack_host)
+        data_specs = (tuple(P(AXIS) for _ in self.blocks),
+                      tuple(P(AXIS) for _ in self.Dinv),
+                      tuple(P(AXIS) for _ in self.colors), P(), pack_specs,
+                      tuple(P() for _ in self.R), tuple(P() for _ in self.Pr))
+
+        def solve_local(b64, blocks, Dinv, colors, coarse_inv, packs, Rs, Ps,
+                        rhs, u0):
+            data = (blocks, Dinv, colors, coarse_inv, packs, Rs, Ps)
+            res0 = _pnorm2(rhs - _matvec_with_halo(b64, u0))
+            hist0 = jnp.full((max_outer + 1,), jnp.nan, dtype=rhs.dtype)
+
+            def inner(r32):
+                e = jnp.zeros_like(r32)
+                for _ in range(n_inner):
+                    e = self._v_cycle(n_lev - 1, data, r32, e)
+                return e
+
+            def cond(state):
+                n, u, res, hist = state
+                return (n < max_outer) & (res >= tol) & jnp.isfinite(res)
+
+            def body(state):
+                n, u, res, hist = state
+                hist = hist.at[n].set(res)
+                r = rhs - _matvec_with_halo(b64, u)
+                u = u + inner(r.astype(jnp.float32)).astype(rhs.dtype)
+                res = _pnorm2(rhs - _matvec_with_halo(b64, u)) / res0
+                return n + 1, u, res, hist
+
+            state = (jnp.asarray(0, dtype=jnp.int32), u0,
+                     jnp.asarray(1.0, dtype=rhs.dtype), hist0)
+            n, u, res, hist = jax.lax.while_loop(cond, body, state)
+            hist = hist.at[n].set(res)
+            return u, res, n, hist
+
+        fn = shard_map(solve_local, mesh=mesh,
+                       in_specs=(P(AXIS),) + data_specs + (spec, spec),
+                       out_specs=(spec, P(), P(), P()),
+                       check_vma=False)
+        return jax.jit(fn)
+
+    def solve_refined(self, rhs_vec, u0_vec=None, tol=1e-10, n_inner=6,
+                      max_outer=20):
+        """f64-accuracy sharded solve; returns (u, res, n_outer)."""
+        B = self.levels[-1].N_DOF_sol_tot
+        rhs = vec_to_grid(jnp.asarray(rhs_vec, dtype=jnp.float64),
+                          self.Ni, self.Nj, B)
+        u0 = (vec_to_grid(u0_vec, self.Ni, self.Nj, B) if u0_vec is not None
+              else jnp.zeros_like(rhs))
+        fn = self.build_refined(tol=tol, n_inner=n_inner, max_outer=max_outer)
+        blocks32, Dinv32, colors, cinv32, packs32, R32, P32 = self._data32()
+        with self.mesh:
+            sh = NamedSharding(self.mesh, P(AXIS))
+            rhs = jax.device_put(rhs, sh)
+            u0 = jax.device_put(u0, sh)
+            u, res, n, hist = fn(self.blocks[-1], blocks32, Dinv32, colors,
+                                 cinv32, packs32, R32, P32, rhs, u0)
         hist = np.asarray(hist)
         self.history = [float(r) for r in hist[np.isfinite(hist)]]
         return grid_to_vec(u), float(res), int(n)

@@ -383,3 +383,21 @@ def test_sharded_rejects_indivisible_nj(base_settings):
     t = make_transfer("polynomial", p_fine=2, p_coarse=1)
     with pytest.raises(ValueError, match=r"usable device counts.*\[1, 2, 3, 6\]"):
         ShardedMultigrid([coarse, lvl], [t], s, mesh=make_mesh(4))
+
+
+def test_sharded_mixed_precision_refinement(base_settings):
+    """Sharded f32 cycles + f64 halo defect matvec reach the 1e-10 BASELINE
+    parity target on the CPU mesh (VERDICT r1 item 6)."""
+    lvl, rhs = _setup(base_settings)
+    coarse = GridLevel(Geometry(os.path.join(INPUT_DIR,
+                                             "Rectangle_8X8_nPoly1.xyz"),
+                                base_settings), base_settings, ["u"], {"u": 1},
+                       sigma=4.0)
+    coarse.op, _, _ = assemble_poisson(coarse)
+    t = make_transfer("polynomial", p_fine=2, p_coarse=1)
+    mg = ShardedMultigrid([coarse, lvl], [t], base_settings, mesh=make_mesh(8))
+    u, res, n = mg.solve_refined(rhs, tol=1e-10)
+    assert res < 1e-10, res
+    # true f64 residual of the returned vector
+    r = np.asarray(rhs) - np.asarray(lvl.op.matvec(jnp.asarray(u)))
+    assert np.linalg.norm(r) / np.linalg.norm(np.asarray(rhs)) < 1e-10
