@@ -95,10 +95,15 @@ def calculate_amplification(level, results_dir, n_theta=101, export=True):
         os.makedirs(results_dir, exist_ok=True)
         np.savez(os.path.join(results_dir, "amplification.npz"), **out)
         try:
-            from dgtpu.visualization import plot_amplification_factor
+            from dgtpu.visualization import (plot_amplification_factor,
+                                             plot_amplification_quadrants)
             for q in range(4):
                 plot_amplification_factor(out[f"A{q+1}"], theta, theta,
                                           results_dir, suffix=str(q))
+            # the reference's four-quadrant deliverable layout
+            # (relaxation.py:55-68): all four center-element factors in one
+            # figure
+            plot_amplification_quadrants(out, theta, results_dir)
         except Exception:
             pass
     return out

@@ -124,3 +124,27 @@ def run_spectral_radius_study(grid_sizes=(2, 4), degrees=(1, 2), p_grid=1,
     except Exception:
         pass
     return results
+
+
+def run_figure_suite(p=3, outdir=None):
+    """Generate the full basis/element thesis-figure set in one call.
+
+    Covers the reference's manual figure scripts (visualization.py:174-401):
+    standard element, 1D modal + nodal bases, the 2D tensor-product modal
+    basis-mode surfaces, Lebesgue functions + Lebesgue-constant growth, and
+    the Runge interpolation comparison.  Returns the written paths.
+    """
+    from dgtpu import visualization as viz
+    if outdir is None:
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        outdir = os.path.join(repo, "postprocessing", "plots")
+    paths = [
+        viz.plot_standard_element(p, outdir=outdir),
+        viz.plot_basis_1d(p, outdir=outdir),
+        viz.plot_basis_nodal_1d(p, outdir=outdir),
+        viz.plot_basis_2d(p, outdir=outdir),
+        viz.plot_lebesgue(p, outdir=outdir),
+        viz.plot_lebesgue_constant(max(p, 6), outdir=outdir),
+        viz.plot_runge(max(p, 6), outdir=outdir),
+    ]
+    return [p_ for p_ in paths if p_ is not None]

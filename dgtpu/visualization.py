@@ -201,6 +201,108 @@ def plot_basis_1d(p, outdir="postprocessing/plots"):
     return path
 
 
+def plot_basis_nodal_1d(p, outdir="postprocessing/plots"):
+    """Lagrange (nodal) basis on LGL nodes (visualization.py:238-263)."""
+    if not HAVE_MPL:
+        return None
+    from dgtpu.basis import lagrange_basis, legendre_gauss_lobatto
+    nodes = legendre_gauss_lobatto(p + 1)
+    x = np.linspace(-1, 1, 400)
+    L = lagrange_basis(x, nodes)                 # (len(x), p+1)
+    fig, ax = plt.subplots(figsize=(6, 4))
+    for k in range(p + 1):
+        ax.plot(x, L[:, k], label=f"$\\ell_{k}$")
+    ax.plot(nodes, np.zeros_like(nodes), "ko", ms=3)
+    ax.set_xlabel("$x$")
+    ax.set_ylabel(r"$\ell(x)$")
+    ax.legend(ncol=2, fontsize=8)
+    ax.grid(alpha=0.3)
+    path = os.path.join(_outdir(outdir), f"nodal_basis_p{p}.png")
+    fig.savefig(path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
+def plot_basis_2d(p, outdir="postprocessing/plots"):
+    """2D tensor-product modal basis-mode surfaces (one panel per mode).
+
+    Column-major mode ordering n = j*(p+1) + i, the ordering the modal
+    solution vectors use (interpolation.py:133-140 semantics).
+    """
+    if not HAVE_MPL:
+        return None
+    from dgtpu.basis import legendre_orthonormal
+    N = p + 1
+    x = np.linspace(-1, 1, 60)
+    X, Y = np.meshgrid(x, x, indexing="ij")
+    fig = plt.figure(figsize=(2.4 * N, 2.2 * N))
+    for j in range(N):
+        for i in range(N):
+            n = j * N + i
+            ax = fig.add_subplot(N, N, n + 1, projection="3d")
+            Z = (legendre_orthonormal(X.ravel(), i)
+                 * legendre_orthonormal(Y.ravel(), j)).reshape(X.shape)
+            ax.plot_surface(X, Y, Z, cmap="viridis", linewidth=0,
+                            rstride=2, cstride=2, antialiased=False)
+            ax.set_title(f"$\\psi_{{{n}}}$", fontsize=8, pad=0)
+            ax.set_axis_off()
+    path = os.path.join(_outdir(outdir), f"modal_basis_2d_p{p}.png")
+    fig.savefig(path, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
+def plot_lebesgue_constant(p_max, outdir="postprocessing/plots"):
+    """Lebesgue constant vs degree, equidistant vs LGL nodes
+    (visualization.py:293-307, 387-401)."""
+    if not HAVE_MPL:
+        return None
+    from dgtpu.basis import lebesgue_function, legendre_gauss_lobatto
+    x = np.linspace(-1, 1, 1001)
+    ps = np.arange(1, p_max + 1)
+    lam_equi = [lebesgue_function(np.linspace(-1, 1, p + 1), x).max()
+                for p in ps]
+    lam_lgl = [lebesgue_function(legendre_gauss_lobatto(p + 1), x).max()
+               for p in ps]
+    fig, ax = plt.subplots(figsize=(5, 4))
+    ax.semilogy(ps, lam_equi, "o--", label="equidistant")
+    ax.semilogy(ps, lam_lgl, "s-", label="LGL")
+    ax.set_xlabel("$p$")
+    ax.set_ylabel(r"$\Lambda_p$")
+    ax.legend()
+    ax.grid(alpha=0.3)
+    path = os.path.join(_outdir(outdir), f"lebesgue_constant_p{p_max}.png")
+    fig.savefig(path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
+def plot_amplification_quadrants(out, theta, outdir="postprocessing/plots",
+                                 name="amplification_quadrants"):
+    """Four-quadrant amplification figure: the 2x2 layout of A1..A4
+    surfaces the reference generates as its LFA deliverable
+    (relaxation.py:55-68 + visualization.py:206-236).
+
+    ``out``: dict with keys 'A1'..'A4' (from calculate_amplification),
+    ``theta``: the 1D angle grid.
+    """
+    if not HAVE_MPL:
+        return None
+    TX, TY = np.meshgrid(theta, theta, indexing="ij")
+    fig = plt.figure(figsize=(10, 8))
+    for q in range(1, 5):
+        ax = fig.add_subplot(2, 2, q, projection="3d")
+        ax.plot_surface(TX, TY, np.asarray(out[f"A{q}"]), cmap="viridis",
+                        linewidth=0)
+        ax.set_xlabel(r"$\theta_x$")
+        ax.set_ylabel(r"$\theta_y$")
+        ax.set_title(f"$A_{q}$")
+    path = os.path.join(_outdir(str(outdir)), f"{name}.png")
+    fig.savefig(path, dpi=130, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
 def plot_spectral_radius(results, outdir="postprocessing/plots",
                          name="spectral_radius_Poisson"):
     """rho(B) of the smoother iteration matrix vs grid size, per degree.
