@@ -16,7 +16,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dgtpu.ops.linalg import host_inv
 from dgtpu.ops.smoothers import _gs_sweep_sequential
 
 
@@ -27,19 +26,31 @@ def calculate_amplification(level, results_dir, n_theta=101, export=True):
     is_fvm = level.discretization == "fvm"
 
     if not is_fvm:
-        if level.P_sol["u"] != level.P_grid:
-            raise ValueError("smoother amplification requires P_sol == P_grid "
-                             "(nodal-modal Fourier projection must be square)")
-        V = np.asarray(level.quad.V_sol_grid["u"])
-        Vinv = np.asarray(host_inv(V))
-        x0, y0 = float(level.X[0][0]), float(level.Y[0][0])
-        xL = float(np.max(level.X))
-        yL = float(np.max(level.Y))
-        Lx, Ly = xL - x0, yL - y0
-        Ni_tot = level.Ni * (level.N_grid - 1)
-        Nj_tot = level.Nj * (level.N_grid - 1)
-        k = (np.asarray(level.X) - x0) * Ni_tot / Lx       # (N, G)
-        l = (np.asarray(level.Y) - y0) * Nj_tot / Ly
+        # Fourier modes are sampled at the *solution* LGL nodes, where the
+        # modal Vandermonde is square for any P_sol — the reference pins
+        # degree 6 in its -amp config but the projection itself is general
+        # (relaxation.py:71-90); the round-1 P_sol == P_grid restriction is
+        # lifted by interpolating node coordinates from the grid lattice.
+        from dgtpu.basis import lagrange_basis, vandermonde_2d
+        ns = level.N_sol["u"]
+        if ns < 2:
+            raise ValueError("smoother amplification needs P_sol >= 1")
+        q = level.quad
+        V = np.asarray(vandermonde_2d(ns, q.r_sol["u"], q.r_sol["u"]))
+        Vinv = np.linalg.inv(V)
+        if ns == level.N_grid:
+            Xs, Ys = np.asarray(level.X), np.asarray(level.Y)
+        else:
+            L1 = lagrange_basis(q.r_sol["u"], q.r_grid)    # (ns, n_grid)
+            L2 = np.kron(L1, L1)                           # Fortran n=i+j*G
+            Xs = np.asarray(level.X) @ L2.T
+            Ys = np.asarray(level.Y) @ L2.T
+        x0, y0 = float(Xs.min()), float(Ys.min())
+        Lx, Ly = float(Xs.max()) - x0, float(Ys.max()) - y0
+        Ni_tot = level.Ni * (ns - 1)
+        Nj_tot = level.Nj * (ns - 1)
+        k = (Xs - x0) * Ni_tot / Lx                        # (N, ns^2)
+        l = (Ys - y0) * Nj_tot / Ly
         k_dev, l_dev = jnp.asarray(k), jnp.asarray(l)
         Vinv_dev = jnp.asarray(Vinv)
         V_dev = jnp.asarray(V)

@@ -308,3 +308,27 @@ def test_stencil_dgs_solution_matches_dense_lsq():
     scale = np.abs(np.asarray(u_de)[:n_uv]).max()
     assert np.abs(np.asarray(u_st)[:n_uv]
                   - np.asarray(u_de)[:n_uv]).max() < 1e-7 * scale
+
+
+def test_amplification_p_sol_differs_from_p_grid():
+    """LFA no longer requires P_sol == P_grid (round-1 weak point 6): the
+    Fourier projection is built at the solution LGL nodes with coordinates
+    interpolated from the grid lattice."""
+    import os
+    from dgtpu.geometry import Geometry
+    from dgtpu.level import GridLevel
+    from dgtpu.mms import ManufacturedSolution
+    from dgtpu.models.poisson import assemble_poisson
+    from dgtpu.solvers.amplification import calculate_amplification
+    from tests.conftest import INPUT_DIR
+    s = stokes_settings("direct")
+    s.update_setting("problem.type", "Poisson")
+    s.update_setting("grid.polynomial_degree", 1)
+    geom = Geometry(os.path.join(INPUT_DIR, "Rectangle_4X4_nPoly1.xyz"), s)
+    lvl = GridLevel(geom, s, ["u"], {"u": 3})      # P_sol=3 on a P_grid=1 grid
+    mms = ManufacturedSolution({"u": "sin(pi*x)*sin(pi*y)"}, "Poisson", 1.0)
+    lvl.op, lvl.rhs, _ = assemble_poisson(lvl, mms)
+    out = calculate_amplification(lvl, "/tmp/amp_psol", n_theta=9, export=False)
+    for qd in range(1, 5):
+        A = out[f"A{qd}"]
+        assert A.max() <= 1.05 and A.min() >= 0.0
