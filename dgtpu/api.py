@@ -228,6 +228,12 @@ class DGFEM:
                     geo_transfers.append(make_transfer(
                         "geometric_fvm", Ni_c=self.levels[k].Ni,
                         Nj_c=self.levels[k].Nj))
+                elif self.vars == ["u", "p"]:
+                    from dgtpu.models.stokes import StokesGeometricTransfer
+                    geo_transfers.append(StokesGeometricTransfer(
+                        self.levels[k].Ni, self.levels[k].Nj,
+                        pu=self.levels[k].P_sol["u"],
+                        pp=self.levels[k].P_sol["p"], cf=2))
                 else:
                     geo_transfers.append(make_transfer(
                         "geometric", p_fine=self.levels[k].P_sol["u"],

@@ -406,6 +406,51 @@ class StokesPolynomialTransfer:
             (p @ self.Rp).reshape(-1)])
 
 
+class StokesGeometricTransfer:
+    """Geometric (h) coarsening transfer on globally ordered Stokes vectors.
+
+    New capability beyond the reference (its CoarseElement sampling is
+    Poisson-only, element.py:314): each component restricts/prolongs with
+    the scalar L2-projection agglomeration operator of its own degree,
+    applied through the same tile machinery as the Poisson path.  This is
+    what keeps the coarsest Stokes level *small* at large element counts —
+    the p-hierarchy bottoms out at p_u=1 on the fine element grid, where a
+    dense coarse solve stops scaling and a 10-sweep coarse smoother is too
+    weak (divergence observed at 32x32 in round 2).
+    """
+
+    kind = "geometric"
+
+    def __init__(self, Ni_c, Nj_c, pu, pp, cf=2):
+        from dgtpu.ops.transfer import make_transfer
+        self.tu = make_transfer("geometric", p_fine=pu, Ni_c=Ni_c, Nj_c=Nj_c,
+                                cf=cf)
+        self.tp = make_transfer("geometric", p_fine=pp, Ni_c=Ni_c, Nj_c=Nj_c,
+                                cf=cf)
+        self.N_f = Ni_c * Nj_c * cf * cf
+        self.N_c = Ni_c * Nj_c
+        self.nu = (pu + 1) ** 2
+        self.npd = (pp + 1) ** 2
+        # dtype-castable attributes for the bench fast path
+        self.R, self.P = self.tu.R, self.tu.P
+
+    def _split(self, vec, n):
+        nu, npd = self.nu, self.npd
+        return (vec[:n * nu], vec[n * nu:2 * n * nu], vec[2 * n * nu:])
+
+    def restrict(self, vec):
+        import jax.numpy as jnp
+        u, v, p = self._split(vec, self.N_f)
+        return jnp.concatenate([self.tu.restrict(u), self.tu.restrict(v),
+                                self.tp.restrict(p)])
+
+    def prolong(self, vec):
+        import jax.numpy as jnp
+        u, v, p = self._split(vec, self.N_c)
+        return jnp.concatenate([self.tu.prolong(u), self.tu.prolong(v),
+                                self.tp.prolong(p)])
+
+
 # --------------------------------------------------------------------------
 # reorderings, pressure postprocessing, Epsilon
 # --------------------------------------------------------------------------

@@ -332,3 +332,45 @@ def test_amplification_p_sol_differs_from_p_grid():
     for qd in range(1, 5):
         A = out[f"A{qd}"]
         assert A.max() <= 1.05 and A.min() >= 0.0
+
+
+def test_stokes_geometric_multigrid():
+    """Stokes p + geometric (h) multigrid — new capability beyond the
+    reference (its CoarseElement sampling is Poisson-only, element.py:314).
+    The coarsest level drops to a 4x4 element grid so the direct coarse
+    solve stays small at any fine-grid size."""
+    from dgtpu.settings import Settings, load_params
+    params = load_params()
+    params["problem"]["type"] = "Stokes"
+    params["grid"]["filename"] = "Rectangle_8X8_nPoly2.xyz"
+    params["grid"]["polynomial degree"] = 2
+    params["solution"]["u"]["polynomial degree"] = 2
+    params["solution"]["p"]["polynomial degree"] = 1
+    params["solution"]["ordering"] = "global"
+    params["solver"]["multigrid"]["penalty parameter coarsening"]["enabled"] = False
+    params["solver"]["multigrid"]["polynomial coarsening"]["enabled"] = True
+    params["solver"]["multigrid"]["polynomial coarsening"]["levels"]["u"] = "1,2"
+    params["solver"]["multigrid"]["geometric coarsening"]["enabled"] = True
+    params["solver"]["multigrid"]["geometric coarsening"]["coarsening factors"] = 2
+    for c in ("polynomial coarsening", "geometric coarsening"):
+        for w in ("pre smoother", "post smoother"):
+            params["solver"]["multigrid"][c][w]["smoother"] = \
+                "distributive_gauss_seidel"
+    params["solver"]["multigrid"]["coarse grid solver"] = "direct"
+    params["performance"]["dgs_splitting"] = "lsq"
+    params["visualization"]["export"] = False
+    params["visualization"]["automatically open paraview"] = False
+    params["logging"]["loglevel"] = "ERROR"
+    s = Settings(params)
+    s.solver.method = "multigrid"
+    s.update_setting("solver.discretization", "dg")
+    dg = DGFEM(settings=s, solve_multigrid=True)
+    assert [(l.Ni, l.Nj) for l in dg.levels] == [(4, 4), (8, 8), (8, 8)]
+    dg.solve()
+    assert dg.residuals[-1] < 1e-6
+    assert len(dg.residuals) - 1 <= 20
+    # direct-solve parity on the velocity field
+    dg_d = DGFEM(settings=stokes_settings("direct", "global", n=8),
+                 solve_direct=True)
+    dg_d.solve()
+    assert np.isclose(dg.L2_error_u, dg_d.L2_error_u, rtol=1e-3)
