@@ -87,6 +87,16 @@ class PallasVCycle:
                        .astype(dtype) for k, op in enumerate(ops)]
         self.Dinv = [host_inv(b[:, :, 0]).astype(dtype) for b in self.blocks]
         self.masks = [rolled.color_masks(nj, ni, dtype) for nj, ni in self.dims]
+        # color-split packing (gather-free ColorPack): halves the block
+        # traffic and FLOPs of every color pass; needs an even Ni per level
+        self.use_split = all(ni % 2 == 0 for _, ni in self.dims)
+        if self.use_split:
+            self.split_blocks, self.split_Dinv, self.evens = [], [], []
+            for b, d, (nj, ni) in zip(self.blocks, self.Dinv, self.dims):
+                bc, dc = rolled.pack_operator_colors(b, d)
+                self.split_blocks.append(bc)
+                self.split_Dinv.append(dc)
+                self.evens.append(rolled.parity_mask(nj, dtype))
         self.coarse_solver = settings.solver.multigrid.coarse_grid_solver
         if self.coarse_solver in ("direct", "amg"):
             nj0, ni0 = self.dims[0]
@@ -147,13 +157,33 @@ class PallasVCycle:
         return jax.lax.dot_general(e, P, (((2,), (1,)), ((), ())),
                                    preferred_element_type=e.dtype)
 
+    def _smooth(self, k, consts, rhs, u, n_pass):
+        blocks, Dinv, sel, Rs, Ps, inv_col = consts
+        if self.use_split:
+            even = sel[k]
+            uc = rolled.pack_colors(u, even)
+            rc = rolled.pack_colors(rhs, even)
+            u0, u1 = rolled.rb_gs_sweeps_split(blocks[k], Dinv[k], rc, uc,
+                                               even, n_pass)
+            return rolled.unpack_colors(u0, u1, even)
+        return rolled.rb_gs_sweeps_masked(blocks[k], Dinv[k], rhs, u,
+                                          sel[k], n_pass)
+
+    def _residual(self, k, consts, rhs, u):
+        blocks, Dinv, sel, Rs, Ps, inv_col = consts
+        if self.use_split:
+            even = sel[k]
+            uc = rolled.pack_colors(u, even)
+            r0, r1 = rolled.matvec_split(blocks[k], uc, even)
+            return rhs - rolled.unpack_colors(r0, r1, even)
+        return rhs - rolled.matvec(blocks[k], u)
+
     def _coarse_solve(self, consts, rhs, u):
-        blocks, Dinv, masks, Rs, Ps, inv_col = consts
+        blocks, Dinv, sel, Rs, Ps, inv_col = consts
         nj, ni = self.dims[0]
         if inv_col is None:
             # 10 iterations of the pre-smoother (solver.py:199-204 semantics)
-            return rolled.rb_gs_sweeps_masked(blocks[0], Dinv[0], rhs, u,
-                                              masks[0], 20)
+            return self._smooth(0, consts, rhs, u, 20)
         # inv_col may be a Pallas Ref (dynamic leading-dim indexing inside
         # the loop) or a plain array (XLA build) — same indexing either way
         B = rhs.shape[-1]
@@ -165,40 +195,54 @@ class PallasVCycle:
         return jax.lax.fori_loop(0, nj * ni, body, jnp.zeros_like(rhs))
 
     def _cycle(self, k, consts, rhs, u):
-        blocks, Dinv, masks, Rs, Ps, inv_col = consts
         if k == 0:
             return self._coarse_solve(consts, rhs, u)
+        _, _, _, Rs, Ps, _ = consts
         pre, post = self._cfg[self.types[k - 1]]
-        b, d, m = blocks[k], Dinv[k], masks[k]
-        u = rolled.rb_gs_sweeps_masked(b, d, rhs, u, m, 2 * pre)
-        r = rhs - rolled.matvec(b, u)
+        u = self._smooth(k, consts, rhs, u, 2 * pre)
+        r = self._residual(k, consts, rhs, u)
         r_c = self._restrict(k - 1, Rs[k - 1], r)
         e_c = self._cycle(k - 1, consts, r_c, jnp.zeros_like(r_c))
         u = u + self._prolong(k - 1, Ps[k - 1], e_c)
-        u = rolled.rb_gs_sweeps_masked(b, d, rhs, u, m, 2 * post)
+        u = self._smooth(k, consts, rhs, u, 2 * post)
         return u
 
     # ---- kernel construction -------------------------------------------------
+
+    def _host_consts(self):
+        """The per-level operator tuples in the active layout."""
+        if self.use_split:
+            return (list(self.split_blocks), list(self.split_Dinv),
+                    list(self.evens))
+        return (list(self.blocks), list(self.Dinv), list(self.masks))
 
     def build(self):
         n_lev = self.n_lev
         n_tr = n_lev - 1
         has_inv = self.coarse_inv_col is not None
-        n_inputs = 2 + 3 * n_lev + 2 * n_tr + (1 if has_inv else 0)
+        per_lev = 5 if self.use_split else 3
+        n_inputs = 2 + per_lev * n_lev + 2 * n_tr + (1 if has_inv else 0)
 
         def kernel(*refs):
             rhs_ref, u_ref = refs[0], refs[1]
             off = 2
-            blocks = [refs[off + k][:] for k in range(n_lev)]; off += n_lev
-            Dinv = [refs[off + k][:] for k in range(n_lev)]; off += n_lev
-            masks = [refs[off + k][:] for k in range(n_lev)]; off += n_lev
+            if self.use_split:
+                blocks = [(refs[off + 2 * k][:], refs[off + 2 * k + 1][:])
+                          for k in range(n_lev)]; off += 2 * n_lev
+                Dinv = [(refs[off + 2 * k][:], refs[off + 2 * k + 1][:])
+                        for k in range(n_lev)]; off += 2 * n_lev
+                sel = [refs[off + k][:] for k in range(n_lev)]; off += n_lev
+            else:
+                blocks = [refs[off + k][:] for k in range(n_lev)]; off += n_lev
+                Dinv = [refs[off + k][:] for k in range(n_lev)]; off += n_lev
+                sel = [refs[off + k][:] for k in range(n_lev)]; off += n_lev
             Rs = [refs[off + k][:] for k in range(n_tr)]; off += n_tr
             Ps = [refs[off + k][:] for k in range(n_tr)]; off += n_tr
             # the coarse inverse stays a Ref: the fori_loop coarse solve
             # slices one column tile per iteration (dynamic leading index)
             inv_col = refs[off] if has_inv else None
             out_ref = refs[-1]
-            consts = (blocks, Dinv, masks, Rs, Ps, inv_col)
+            consts = (blocks, Dinv, sel, Rs, Ps, inv_col)
             out_ref[:] = self._cycle(n_lev - 1, consts, rhs_ref[:], u_ref[:])
 
         nj, ni = self.dims[-1]
@@ -218,7 +262,12 @@ class PallasVCycle:
                 vmem_limit_bytes=100 * 1024 * 1024),
         )
 
-        consts = (*self.blocks, *self.Dinv, *self.masks, *self.R, *self.P)
+        if self.use_split:
+            consts = (*[b for bc in self.split_blocks for b in bc],
+                      *[d for dc in self.split_Dinv for d in dc],
+                      *self.evens, *self.R, *self.P)
+        else:
+            consts = (*self.blocks, *self.Dinv, *self.masks, *self.R, *self.P)
         if has_inv:
             consts = (*consts, self.coarse_inv_col)
 
@@ -240,8 +289,8 @@ class PallasVCycle:
         """
         nj, ni = self.dims[-1]
         B = self.blocks[-1].shape[-1]
-        consts = (list(self.blocks), list(self.Dinv), list(self.masks),
-                  list(self.R), list(self.P), self.coarse_inv_col)
+        consts = self._host_consts() + (list(self.R), list(self.P),
+                                        self.coarse_inv_col)
 
         @jax.jit
         def one_cycle(rhs, u):
@@ -256,6 +305,12 @@ class PallasVCycle:
         for name in ("blocks", "Dinv", "masks", "R", "P"):
             setattr(self, name, [jax.device_put(x, device)
                                  for x in getattr(self, name)])
+        if self.use_split:
+            self.split_blocks = [tuple(jax.device_put(x, device) for x in bc)
+                                 for bc in self.split_blocks]
+            self.split_Dinv = [tuple(jax.device_put(x, device) for x in dc)
+                               for dc in self.split_Dinv]
+            self.evens = [jax.device_put(e, device) for e in self.evens]
         if self.coarse_inv_col is not None:
             self.coarse_inv_col = jax.device_put(self.coarse_inv_col, device)
         return self
