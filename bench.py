@@ -386,7 +386,8 @@ def main():
                 result["vs_baseline"] = round(1.0 / t_ms, 3)
                 result["impl"] = tag
         except Exception as e:
-            print(f"# {tag} failed: {type(e).__name__}", file=sys.stderr)
+            msg = str(e).splitlines()[0][:300] if str(e) else ""
+            print(f"# {tag} failed: {type(e).__name__}: {msg}", file=sys.stderr)
 
     if rolled_fn is not None:
         try_impl("rolled_fused", rolled_fn)
