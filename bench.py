@@ -168,9 +168,10 @@ def main():
     ap.add_argument("--reps", type=int, default=200)
     ap.add_argument("--backend", default=None)
     ap.add_argument("--no-pallas", action="store_true")
-    ap.add_argument("--pallas-max-n", type=int, default=8,
-                    help="largest grid-n for the fused Pallas kernel "
-                         "(Mosaic compile time explodes beyond the default)")
+    ap.add_argument("--pallas-max-n", type=int, default=16,
+                    help="largest grid-n for the fused Pallas kernel; beyond "
+                         "16 the padded operator hierarchy exceeds v5e VMEM "
+                         "(the (B,B) blocks tile-pad to (8k,128) lanes)")
     ap.add_argument("--grid-n", type=int, default=8,
                     help="elements per direction (8 = BASELINE flagship)")
     ap.add_argument("--p", type=int, default=5, help="solution degree")
@@ -277,10 +278,11 @@ def main():
                     return rolled_one(rhs, u)
                 return jax.lax.fori_loop(0, n, body, u)
             rolled_fn = (rolled_one, rolled_many)
-            # the fused Pallas kernel is a VMEM-resident flagship-scale
-            # design; its statically unrolled cycle makes Mosaic compile
-            # time explode on larger grids — gate it by size (larger grids
-            # use the generic XLA path)
+            # the fused Pallas kernel keeps the whole hierarchy VMEM-
+            # resident; tile padding of the operator blocks caps it at
+            # 16x16 on v5e (larger grids use the generic XLA path).
+            # Compile is ~35-70 s (loops + single-batch dot_general keep
+            # kernel size O(1) in the grid).
             if (jax.default_backend() == "tpu" and not args.no_pallas
                     and args.grid_n <= args.pallas_max_n):
                 pallas_one = pv.build()

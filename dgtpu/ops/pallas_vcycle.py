@@ -226,15 +226,19 @@ class PallasVCycle:
         def kernel(*refs):
             rhs_ref, u_ref = refs[0], refs[1]
             off = 2
+            # operator blocks and diag inverses stay as VMEM *refs* — the
+            # rolled.* helpers load slot slices lazily.  Materializing them
+            # here ([:]) would stack-copy every constant and double the
+            # kernel's VMEM footprint (measured OOM at 16x16: 121.75 MB).
             if self.use_split:
-                blocks = [(refs[off + 2 * k][:], refs[off + 2 * k + 1][:])
+                blocks = [(refs[off + 2 * k], refs[off + 2 * k + 1])
                           for k in range(n_lev)]; off += 2 * n_lev
-                Dinv = [(refs[off + 2 * k][:], refs[off + 2 * k + 1][:])
+                Dinv = [(refs[off + 2 * k], refs[off + 2 * k + 1])
                         for k in range(n_lev)]; off += 2 * n_lev
                 sel = [refs[off + k][:] for k in range(n_lev)]; off += n_lev
             else:
-                blocks = [refs[off + k][:] for k in range(n_lev)]; off += n_lev
-                Dinv = [refs[off + k][:] for k in range(n_lev)]; off += n_lev
+                blocks = [refs[off + k] for k in range(n_lev)]; off += n_lev
+                Dinv = [refs[off + k] for k in range(n_lev)]; off += n_lev
                 sel = [refs[off + k][:] for k in range(n_lev)]; off += n_lev
             Rs = [refs[off + k][:] for k in range(n_tr)]; off += n_tr
             Ps = [refs[off + k][:] for k in range(n_tr)]; off += n_tr
@@ -257,9 +261,13 @@ class PallasVCycle:
             out_specs=vspec,
             interpret=self.interpret,
             # the whole hierarchy lives in VMEM; the default 16 MiB scoped
-            # limit is marginally exceeded by the unrolled cycle's stack
+            # limit is far exceeded by the resident operator blocks.  The
+            # (B, B) tiles pad to (8k, 128) lanes, so the 8.1 MB flagship
+            # hierarchy occupies ~112 MB padded at 16x16 — right at the
+            # v5e 128 MB physical VMEM, hence 120 MB (measured: 112.33 MB
+            # stack allocation at 16x16 p=5).
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
+                vmem_limit_bytes=120 * 1024 * 1024),
         )
 
         if self.use_split:

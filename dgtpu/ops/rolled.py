@@ -11,19 +11,41 @@ blocks are zero, so rolls are harmless even for Dirichlet topologies, and
 exact for O-grid wrap).  These value-level functions are shared by the
 single-chip fast path, the Pallas fused V-cycle, and the shard_map halo
 version (which replaces the j-shifts with ppermute exchanges).
+
+``blocks``/``Dinv`` operands may be either arrays or Pallas VMEM *refs*:
+every access goes through slicing (``x[:, :, s]`` / ``x[...]``), which is a
+lazy load on a ref and a no-op on an array.  Keeping operators as refs
+inside the fused kernel matters — materializing them up front doubles the
+kernel's VMEM footprint (inputs + stack copies) and OOMs at 16x16.
 """
 
+import jax
 import jax.numpy as jnp
 
 
 def bmv(blocks, u):
     """Batched block matvec (..., a, b) x (..., b) -> (..., a).
 
-    Written as broadcast-multiply-reduce rather than dot_general: at these
-    block sizes the contraction is VPU-bound either way, and Mosaic (Pallas
-    TPU) does not lower multi-batch-dim tpu.matmul.
+    Leading batch dims are flattened into ONE batch dim and the contraction
+    runs as a single-batch ``dot_general``: Mosaic (Pallas TPU) lowers that
+    as one op, whereas it does not lower multi-batch-dim tpu.matmul, and the
+    broadcast-multiply-reduce spelling unrolls the leading dims into one
+    vector-op sequence *per cell* (measured: 548 s Mosaic compile for four
+    smoother passes on a 16x16 grid vs ~4 s in this form).
+
+    ``u`` may also be a single vector (b,) broadcast against every block
+    (the coarse-solve accumulation uses this).
     """
-    return jnp.sum(blocks * u[..., None, :], axis=-1)
+    a, b = blocks.shape[-2], blocks.shape[-1]
+    bf = blocks.reshape(-1, a, b)
+    if u.ndim == 1:
+        out = jax.lax.dot_general(bf, u, (((2,), (0,)), ((), ())),
+                                  preferred_element_type=u.dtype)
+    else:
+        out = jax.lax.dot_general(bf, u.reshape(-1, b),
+                                  (((2,), (1,)), ((0,), (0,))),
+                                  preferred_element_type=u.dtype)
+    return out.reshape(*blocks.shape[:-2], a)
 
 
 def to_rolled(op, Ni, Nj):
@@ -77,13 +99,19 @@ def checkerboard(Nj, Ni, dtype=jnp.int32):
 
 
 def rb_gs_sweeps(blocks, Dinv, rhs, u, colors, n_color_passes):
-    """n_color_passes red/black half-sweeps (2 per symmetric GS iteration)."""
-    for _ in range(n_color_passes):
+    """n_color_passes red/black half-sweeps (2 per symmetric GS iteration).
+
+    The pass loop is a ``fori_loop`` (value carry) so the body compiles once
+    — unrolled passes made Mosaic compile time scale with pass count.
+    """
+    def body(_, u):
         for c in (0, 1):
             off = offdiag_matvec(blocks, u)
-            unew = bmv(Dinv, rhs - off)
+            unew = bmv(Dinv[...], rhs - off)
             u = jnp.where((colors == c)[:, :, None], unew, u)
-    return u
+        return u
+
+    return jax.lax.fori_loop(0, n_color_passes, body, u)
 
 
 def color_masks(Nj, Ni, dtype):
@@ -97,20 +125,23 @@ def color_masks(Nj, Ni, dtype):
 
 def rb_gs_sweeps_masked(blocks, Dinv, rhs, u, masks, n_color_passes):
     """rb_gs_sweeps with precomputed float masks (Pallas-safe)."""
-    for _ in range(n_color_passes):
+    def body(_, u):
         for c in (0, 1):
             off = offdiag_matvec(blocks, u)
-            unew = bmv(Dinv, rhs - off)
+            unew = bmv(Dinv[...], rhs - off)
             u = masks[c] * unew + (1.0 - masks[c]) * u
-    return u
+        return u
+
+    return jax.lax.fori_loop(0, n_color_passes, body, u)
 
 
 def jacobi_sweeps(blocks, Dinv, rhs, u, n, omega=0.8):
-    for _ in range(n):
+    def body(_, u):
         off = offdiag_matvec(blocks, u)
-        unew = bmv(Dinv, rhs - off)
-        u = omega * unew + (1 - omega) * u
-    return u
+        unew = bmv(Dinv[...], rhs - off)
+        return omega * unew + (1 - omega) * u
+
+    return jax.lax.fori_loop(0, n, body, u)
 
 
 # ---------------------------------------------------------------------------
@@ -217,13 +248,15 @@ def rb_gs_sweeps_split(blocks_c, Dinv_c, rhs_c, u_c, even, n_color_passes):
     packed arrays; returns the updated (u0, u1).  Bit-identical math to
     ``rb_gs_sweeps_masked`` with half the block traffic and FLOPs per pass.
     """
-    u0, u1 = u_c
-    for _ in range(n_color_passes):
+    def body(_, uu):
+        u0, u1 = uu
         off0 = _split_off(blocks_c[0], u1, 0, even)
-        u0 = bmv(Dinv_c[0], rhs_c[0] - off0)
+        u0 = bmv(Dinv_c[0][...], rhs_c[0] - off0)
         off1 = _split_off(blocks_c[1], u0, 1, even)
-        u1 = bmv(Dinv_c[1], rhs_c[1] - off1)
-    return u0, u1
+        u1 = bmv(Dinv_c[1][...], rhs_c[1] - off1)
+        return u0, u1
+
+    return jax.lax.fori_loop(0, n_color_passes, body, u_c)
 
 
 def matvec_split(blocks_c, u_c, even):
