@@ -1,0 +1,445 @@
+"""Structure-of-arrays fused V-cycle: cells in lanes, modes in sublanes.
+
+The rolled-layout fused kernel (``ops/pallas_vcycle.py``) stores operator
+blocks as (..., B, B) tiles; Mosaic pads every such tile to (8k, 128) lanes,
+a 3.5x (B=36) to 32x (B=4) VMEM blow-up that caps the VMEM-resident design
+at 16x16 elements on v5e.  This module keeps the *cells* in the lane
+dimension instead::
+
+    vectors  u[color]        : (B, C)          C = Nj * Ni/2 cells per color
+    blocks   A[color]        : (5, B, B, C)    slot, b_src, b_dst, cell
+    Dinv     D[color]        : (B, B, C)
+
+so the only padding is B -> next multiple of 8 in the sublane dim (~11% at
+B=36), and the block matvec becomes B_src broadcast-MACs on (B_dst, C)
+planes — full 128-lane VPU utilization once C >= 128, zero gathers, and
+per-op compile cost independent of the grid.  Neighbor fields are lane
+rotations of the opposite color's lattice (the color-split scheme of
+``ops/rolled.py``): i-neighbors are +/-1 lane rolls (row-crossing garbage
+lands on zero boundary blocks; O-grid wrap gets an explicit two-roll
+blend), j-neighbors are +/-(Ni/2) lane rolls.
+
+Transfers: polynomial restriction/prolongation are plain (B_c, B) x (B, C)
+matmuls (MXU); geometric (h) transfers and the dense coarse inverse act
+across lanes, so they are precomputed host-side as per-color-pair tensors
+(B, B_c, C_c, C_f) applied as multiply-reduce over the fine lanes — dense
+in form, tiny at the p=1 levels where they occur.
+
+The whole multigrid hierarchy stays VMEM-resident through 32x32 elements
+(~80 MB padded), four times the area the rolled-layout kernel reaches.
+
+Reference: the V-cycle semantics mirror ``dgfem/solver.py:141-207``; layout
+and kernel structure are TPU-native with no reference counterpart.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dgtpu.ops.pallas_vcycle import PallasVCycle
+
+_CHILDREN = ((0, 0), (0, 1), (1, 0), (1, 1))  # (dj, di), _tile_restrict order
+
+
+def _packed_pos(j, i):
+    """(color, packed ip) of cell (j, i) under the color-split layout."""
+    c = (i + j) % 2
+    ip = (i - (j % 2)) // 2 if c == 0 else (i - 1 + (j % 2)) // 2
+    return c, ip
+
+
+def _mac(blk, f):
+    """sum_b blk[b] * f[b] for blk (B_src, B_dst, C) (array or ref), f (B_src, C)."""
+    B = f.shape[0]
+    acc = None
+    for b in range(B):
+        term = blk[b] * f[b]
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _lane_tensor_apply(T, f):
+    """sum_{b, lanes} T[b] * f[b] for T (B, A, C_out, C_in) (array or ref).
+
+    The cross-lane linear maps (geometric transfers, dense coarse inverse):
+    per source mode b, T[b] is (A, C_out, C_in); contract the C_in lanes
+    against f[b] and accumulate -> (A, C_out).
+    """
+    B = f.shape[0]
+    acc = None
+    for b in range(B):
+        term = jnp.sum(T[b] * f[b], axis=-1)
+        acc = term if acc is None else acc + term
+    return acc
+
+
+class SoAVCycle(PallasVCycle):
+    """Fused V-cycle in the cells-in-lanes layout.
+
+    Same construction interface as PallasVCycle; requires an even Ni on
+    every level (the color-split condition).  f32 only on hardware (the
+    interpret path runs in any dtype).
+    """
+
+    def __init__(self, ops, transfers, types, settings, dims,
+                 dtype=jnp.float32, interpret=False):
+        super().__init__(ops, transfers, types, settings, dims,
+                         dtype=dtype, interpret=interpret)
+        if not self.use_split:
+            raise ValueError("SoAVCycle needs an even Ni on every level")
+        self.soa_blocks, self.soa_Dinv, self.soa_masks = [], [], []
+        self.periodic = []
+        for k, (nj, ni) in enumerate(self.dims):
+            nh = ni // 2
+            C = nj * nh
+            bc, dc = self.split_blocks[k], self.split_Dinv[k]
+            # (nj, nh, 5, a, b) -> (5, b, a, j*nh+ip)
+            self.soa_blocks.append(tuple(
+                jnp.asarray(np.transpose(np.asarray(x), (2, 4, 3, 0, 1))
+                            .reshape(x.shape[2], x.shape[4], x.shape[3], C))
+                for x in bc))
+            self.soa_Dinv.append(tuple(
+                jnp.asarray(np.transpose(np.asarray(x), (3, 2, 0, 1))
+                            .reshape(x.shape[3], x.shape[2], C))
+                for x in dc))
+            lanes_j = np.repeat(np.arange(nj), nh)
+            lanes_ip = np.tile(np.arange(nh), nj)
+            masks = np.stack([lanes_j % 2 == 0,        # even row
+                              lanes_ip == 0,           # row start
+                              lanes_ip == nh - 1])     # row end
+            self.soa_masks.append(jnp.asarray(
+                masks.astype(np.dtype(dtype))[:, None, :]))   # (3, 1, C)
+            nbr = np.asarray(ops[k].nbr)
+            msk = np.asarray(ops[k].mask)
+            self.periodic.append(bool(ni > 1 and msk[0, 1]
+                                      and nbr[0, 1] == ni - 1))
+        # transfer tensors
+        self.soa_R, self.soa_P = [], []
+        for k, t in enumerate(self.transfers):
+            if t.kind == "geometric":
+                self.soa_R.append(self._geo_tensors(k, restrict=True))
+                self.soa_P.append(self._geo_tensors(k, restrict=False))
+            elif t.kind == "polynomial":
+                self.soa_R.append(t.R.astype(dtype))
+                self.soa_P.append(t.P.astype(dtype))
+            else:
+                self.soa_R.append(None)
+                self.soa_P.append(None)
+        # dense coarse inverse as per-color-pair lane tensors
+        if self.coarse_solver in ("direct", "amg"):
+            self.soa_coarse = self._coarse_tensors(ops)
+        else:
+            self.soa_coarse = None
+
+    # -- host-side tensor construction ---------------------------------------
+
+    def _geo_tensors(self, k, restrict):
+        """Per-(out-color, in-color) lane tensors for the 2x2 agglomeration.
+
+        restrict: T[cc][cf] (B_f, B_c, C_c, C_f) with
+        T[cc][cf][b, a, q, p] = R4[child][a, b]; prolong swaps roles.
+        """
+        njc, nic = self.dims[k]
+        nhc, nhf = nic // 2, nic           # fine level is (2njc, 2nic)
+        Cc, Cf = njc * nhc, (2 * njc) * nhf
+        R4 = np.asarray(self.R[k] if restrict else self.P[k])  # (4, Bc, B)/(4, B, Bc)
+        if restrict:
+            Bc, B = R4.shape[1], R4.shape[2]
+            T = np.zeros((2, 2, B, Bc, Cc, Cf), np.float64)
+        else:
+            B, Bc = R4.shape[1], R4.shape[2]
+            T = np.zeros((2, 2, Bc, B, Cf, Cc), np.float64)
+        for jc in range(njc):
+            for ic in range(nic):
+                cc, ipc = _packed_pos(jc, ic)
+                q = jc * nhc + ipc
+                for kk, (dj, di) in enumerate(_CHILDREN):
+                    jf, if_ = 2 * jc + dj, 2 * ic + di
+                    cf, ipf = _packed_pos(jf, if_)
+                    p = jf * nhf + ipf
+                    if restrict:
+                        T[cc, cf, :, :, q, p] += R4[kk].T     # (B, Bc)
+                    else:
+                        T[cf, cc, :, :, p, q] += R4[kk].T     # (Bc, B)
+        return jnp.asarray(T.astype(np.asarray(R4).dtype))
+
+    def _coarse_tensors(self, ops):
+        """Dense coarsest inverse as (2, 2, B0, B0, C0_out, C0_in) tensors."""
+        nj0, ni0 = self.dims[0]
+        nh0 = ni0 // 2
+        C0 = nj0 * nh0
+        B0 = self.blocks[0].shape[-1]
+        from dgtpu.ops.linalg import host_lu_inverse
+        coarse = ops[0]
+        if hasattr(coarse, "pin") and not coarse.pin:
+            from dataclasses import replace
+            coarse = replace(coarse, pin=True)
+        inv = np.asarray(host_lu_inverse(coarse.to_dense()))
+        T = np.zeros((2, 2, B0, B0, C0, C0), np.float64)
+        pos = []                       # cell m = j*ni0 + i -> (color, lane)
+        for j in range(nj0):
+            for i in range(ni0):
+                c, ip = _packed_pos(j, i)
+                pos.append((c, j * nh0 + ip))
+        for mo, (co, qo) in enumerate(pos):
+            for mi, (ci, qi) in enumerate(pos):
+                T[co, ci, :, :, qo, qi] = \
+                    inv[mo * B0:(mo + 1) * B0, mi * B0:(mi + 1) * B0].T
+        return jnp.asarray(T.astype(self.dtype))
+
+    # -- value-level cycle ----------------------------------------------------
+
+    def _nbr_fields(self, o, color, masks, nh, periodic):
+        """(iL, iR, jL, jR) neighbor fields of ``color`` cells, read from the
+        opposite color's lattice o (B, C).  Lane-roll spelling of
+        rolled.split_neighbor_fields; identical values (wrap garbage lands
+        on zero boundary blocks; O-grids get the exact two-roll blend)."""
+        me, mrs, mre = masks[0], masks[1], masks[2]
+        roll_p = jnp.roll(o, 1, axis=1)
+        roll_m = jnp.roll(o, -1, axis=1)
+        if periodic:
+            roll_p = (1.0 - mrs) * roll_p + mrs * jnp.roll(o, 1 - nh, axis=1)
+            roll_m = (1.0 - mre) * roll_m + mre * jnp.roll(o, nh - 1, axis=1)
+        if color == 0:
+            iL = me * roll_p + (1.0 - me) * o
+            iR = me * o + (1.0 - me) * roll_m
+        else:
+            iL = me * o + (1.0 - me) * roll_p
+            iR = me * roll_m + (1.0 - me) * o
+        jL = jnp.roll(o, nh, axis=1)
+        jR = jnp.roll(o, -nh, axis=1)
+        return iL, iR, jL, jR
+
+    def _off(self, blk, o, color, masks, nh, periodic):
+        fields = self._nbr_fields(o, color, masks, nh, periodic)
+        acc = None
+        for s, f in enumerate(fields):
+            part = _mac(blk[s + 1], f)
+            acc = part if acc is None else acc + part
+        return acc
+
+    def _soa_smooth(self, k, lv, rhs01, u01, n_pass):
+        b0, b1, d0, d1, masks = lv["b0"], lv["b1"], lv["d0"], lv["d1"], lv["m"]
+        nh = self.dims[k][1] // 2
+        per = self.periodic[k]
+        r0, r1 = rhs01
+
+        def body(_, uu):
+            u0, u1 = uu
+            u0 = _mac(d0, r0 - self._off(b0, u1, 0, masks, nh, per))
+            u1 = _mac(d1, r1 - self._off(b1, u0, 1, masks, nh, per))
+            return u0, u1
+
+        return jax.lax.fori_loop(0, n_pass, body, u01)
+
+    def _soa_residual(self, k, lv, rhs01, u01):
+        b0, b1, masks = lv["b0"], lv["b1"], lv["m"]
+        nh = self.dims[k][1] // 2
+        per = self.periodic[k]
+        u0, u1 = u01
+        a0 = _mac(b0[0], u0) + self._off(b0, u1, 0, masks, nh, per)
+        a1 = _mac(b1[0], u1) + self._off(b1, u0, 1, masks, nh, per)
+        return rhs01[0] - a0, rhs01[1] - a1
+
+    def _soa_restrict(self, k, tr, r01):
+        t = self.transfers[k]
+        if t.kind == "penalty":
+            return r01
+        if t.kind == "polynomial":
+            R = tr
+            return tuple(jax.lax.dot_general(R, r, (((1,), (0,)), ((), ())),
+                                             preferred_element_type=r.dtype)
+                         for r in r01)
+        out = []
+        for cc in range(2):
+            acc = None
+            for cf in range(2):
+                part = _lane_tensor_apply(tr[cc, cf], r01[cf])
+                acc = part if acc is None else acc + part
+            out.append(acc)
+        return tuple(out)
+
+    def _soa_prolong(self, k, tp, e01):
+        t = self.transfers[k]
+        if t.kind == "penalty":
+            return e01
+        if t.kind == "polynomial":
+            P = tp
+            return tuple(jax.lax.dot_general(P, e, (((1,), (0,)), ((), ())),
+                                             preferred_element_type=e.dtype)
+                         for e in e01)
+        out = []
+        for cf in range(2):
+            acc = None
+            for cc in range(2):
+                part = _lane_tensor_apply(tp[cf, cc], e01[cc])
+                acc = part if acc is None else acc + part
+            out.append(acc)
+        return tuple(out)
+
+    def _soa_coarse_solve(self, levels, coarse, rhs01, u01):
+        if coarse is None:
+            return self._soa_smooth(0, levels[0], rhs01, u01, 20)
+        out = []
+        for co in range(2):
+            acc = None
+            for ci in range(2):
+                part = _lane_tensor_apply(coarse[co, ci], rhs01[ci])
+                acc = part if acc is None else acc + part
+            out.append(acc)
+        return tuple(out)
+
+    def _soa_cycle(self, k, consts, rhs01, u01):
+        levels, Rs, Ps, coarse = consts
+        if k == 0:
+            return self._soa_coarse_solve(levels, coarse, rhs01, u01)
+        pre, post = self._cfg[self.types[k - 1]]
+        u01 = self._soa_smooth(k, levels[k], rhs01, u01, 2 * pre)
+        r01 = self._soa_residual(k, levels[k], rhs01, u01)
+        rc01 = self._soa_restrict(k - 1, Rs[k - 1], r01)
+        zc = tuple(jnp.zeros_like(r) for r in rc01)
+        ec01 = self._soa_cycle(k - 1, consts, rc01, zc)
+        p01 = self._soa_prolong(k - 1, Ps[k - 1], ec01)
+        u01 = tuple(u + p for u, p in zip(u01, p01))
+        return self._soa_smooth(k, levels[k], rhs01, u01, 2 * post)
+
+    # -- layout conversion (XLA side) ----------------------------------------
+
+    def _to_soa(self, v):
+        """(N*B,) -> ((B, C), (B, C)) color lattices."""
+        nj, ni = self.dims[-1]
+        B = self.blocks[-1].shape[-1]
+        nh = ni // 2
+        from dgtpu.ops import rolled
+        v = v.reshape(nj, ni, B)
+        ev = rolled.parity_mask(nj, v.dtype)
+        u0, u1 = rolled.pack_colors(v, ev)
+        return (u0.reshape(nj * nh, B).T, u1.reshape(nj * nh, B).T)
+
+    def _from_soa(self, u0, u1):
+        nj, ni = self.dims[-1]
+        nh = ni // 2
+        B = self.blocks[-1].shape[-1]
+        from dgtpu.ops import rolled
+        ev = rolled.parity_mask(nj, u0.dtype)
+        a = u0.T.reshape(nj, nh, B)
+        b = u1.T.reshape(nj, nh, B)
+        return rolled.unpack_colors(a, b, ev).reshape(-1)
+
+    # -- kernel construction --------------------------------------------------
+
+    def _flat_consts(self):
+        """(flat list of arrays, rebuild(refs) -> consts) for the kernel."""
+        flat = []
+        for k in range(self.n_lev):
+            b0, b1 = self.soa_blocks[k]
+            d0, d1 = self.soa_Dinv[k]
+            flat += [b0, b1, d0, d1, self.soa_masks[k]]
+        for tr in self.soa_R:
+            if tr is not None:
+                flat.append(tr)
+        for tp in self.soa_P:
+            if tp is not None:
+                flat.append(tp)
+        if self.soa_coarse is not None:
+            flat.append(self.soa_coarse)
+
+        n_lev = self.n_lev
+
+        def rebuild(refs):
+            off = 0
+            levels = []
+            for k in range(n_lev):
+                levels.append({"b0": refs[off], "b1": refs[off + 1],
+                               "d0": refs[off + 2], "d1": refs[off + 3],
+                               "m": refs[off + 4][:]})
+                off += 5
+            Rs, Ps = [], []
+            for tr in self.soa_R:
+                Rs.append(None if tr is None else refs[off])
+                off += 0 if tr is None else 1
+            for tp in self.soa_P:
+                Ps.append(None if tp is None else refs[off])
+                off += 0 if tp is None else 1
+            coarse = None
+            if self.soa_coarse is not None:
+                coarse = refs[off]
+                off += 1
+            # small operands used in dot_general must be values, not refs
+            Rs = [r if r is None or self.transfers[i].kind != "polynomial"
+                  else r[:] for i, r in enumerate(Rs)]
+            Ps = [p if p is None or self.transfers[i].kind != "polynomial"
+                  else p[:] for i, p in enumerate(Ps)]
+            return (levels, Rs, Ps, coarse)
+
+        return flat, rebuild
+
+    def build(self):
+        flat, rebuild = self._flat_consts()
+        n_in = 4 + len(flat)
+        nj, ni = self.dims[-1]
+        nh = ni // 2
+        B = self.blocks[-1].shape[-1]
+        C = nj * nh
+        n_lev = self.n_lev
+
+        def kernel(*refs):
+            r0, r1, u0, u1 = (refs[0][:], refs[1][:], refs[2][:], refs[3][:])
+            consts = rebuild(refs[4:-2])
+            o0, o1 = refs[-2], refs[-1]
+            v0, v1 = self._soa_cycle(n_lev - 1, consts, (r0, r1), (u0, u1))
+            o0[:] = v0
+            o1[:] = v1
+
+        vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        call = pl.pallas_call(
+            kernel,
+            out_shape=[jax.ShapeDtypeStruct((B, C), self.dtype)] * 2,
+            in_specs=[vspec] * n_in,
+            out_specs=[vspec] * 2,
+            interpret=self.interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=120 * 1024 * 1024),
+        )
+
+        @jax.jit
+        def one_cycle(rhs, u):
+            r01 = self._to_soa(rhs.astype(self.dtype))
+            u01 = self._to_soa(u.astype(self.dtype))
+            v0, v1 = call(r01[0], r01[1], u01[0], u01[1], *flat)
+            return self._from_soa(v0, v1)
+
+        self._fn = one_cycle
+        return one_cycle
+
+    def build_xla(self):
+        """The same SoA cycle as plain jitted XLA ops (CPU-testable)."""
+        flat, rebuild = self._flat_consts()
+        consts = rebuild(flat)
+
+        @jax.jit
+        def one_cycle(rhs, u):
+            r01 = self._to_soa(rhs.astype(self.dtype))
+            u01 = self._to_soa(u.astype(self.dtype))
+            v0, v1 = self._soa_cycle(self.n_lev - 1, consts, r01, u01)
+            return self._from_soa(v0, v1)
+
+        return one_cycle
+
+    def to_device(self, device):
+        super().to_device(device)
+        self.soa_blocks = [tuple(jax.device_put(x, device) for x in t)
+                           for t in self.soa_blocks]
+        self.soa_Dinv = [tuple(jax.device_put(x, device) for x in t)
+                         for t in self.soa_Dinv]
+        self.soa_masks = [jax.device_put(m, device) for m in self.soa_masks]
+        self.soa_R = [None if r is None else jax.device_put(r, device)
+                      for r in self.soa_R]
+        self.soa_P = [None if p is None else jax.device_put(p, device)
+                      for p in self.soa_P]
+        if self.soa_coarse is not None:
+            self.soa_coarse = jax.device_put(self.soa_coarse, device)
+        return self
