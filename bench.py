@@ -20,13 +20,17 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Persistent compilation cache: the fused Pallas kernels take minutes to
-# compile through the remote-TPU tunnel; cached binaries make reruns start
-# in seconds.  Must be set before the first jax compile.
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+def _enable_compile_cache():
+    """Persistent compilation cache: the fused Pallas kernels take minutes
+    to compile through the remote-TPU tunnel; cached binaries make reruns
+    start in seconds.  The JAX_COMPILATION_CACHE_DIR env var is not plumbed
+    in this jax build — only jax.config.update works (verified on both the
+    axon TPU plugin and the CPU backend)."""
+    import jax
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 # TPU v5e peak HBM bandwidth (for the achieved-bandwidth figure)
 PEAK_HBM_GBPS = 819.0
@@ -195,6 +199,7 @@ def main():
     import jax
     if args.backend:
         jax.config.update("jax_platforms", args.backend)
+    _enable_compile_cache()
     import jax.numpy as jnp
     import numpy as np
 
