@@ -170,6 +170,96 @@ def run_baseline_configs(skip=()):
     return out
 
 
+def stokes_vcycle_metric(reps=100, n=8, use_pallas=True):
+    """Amortized per-V-cycle latency of the Stokes DGS multigrid.
+
+    8x8 p_u=2/p_p=1 global-order Stokes, p-coarsening (u 2->1) + geometric
+    (8->4->2), distributive-GS smoothing, direct coarse solve — the Stokes
+    analog of the flagship Poisson metric.  Times the SoA fused Pallas
+    kernel (TPU) and its identical-algorithm XLA build.
+    """
+    import jax
+    import jax.numpy as jnp
+    from dgtpu.api import DGFEM
+    from dgtpu.ops.pallas_stokes import SoAStokesVCycle
+    from dgtpu.settings import Settings, load_params
+    from dgtpu.utils.device import setup_scope
+
+    params = load_params()
+    params["problem"]["type"] = "Stokes"
+    params["grid"]["filename"] = f"Rectangle_{n}X{n}_nPoly2.xyz"
+    params["grid"]["polynomial degree"] = 2
+    params["solution"]["u"]["polynomial degree"] = 2
+    params["solution"]["p"]["polynomial degree"] = 1
+    params["solution"]["ordering"] = "global"
+    mgp = params["solver"]["multigrid"]
+    mgp["penalty parameter coarsening"]["enabled"] = False
+    mgp["polynomial coarsening"]["enabled"] = True
+    mgp["polynomial coarsening"]["levels"]["u"] = "1,2"
+    mgp["geometric coarsening"]["enabled"] = True
+    cfs, cf = [], 2
+    while n // cf >= 2:
+        cfs.append(cf)
+        cf *= 2
+    mgp["geometric coarsening"]["coarsening factors"] = ",".join(map(str, cfs))
+    for c in ("polynomial coarsening", "geometric coarsening"):
+        for w in ("pre smoother", "post smoother"):
+            mgp[c][w]["smoother"] = "distributive_gauss_seidel"
+    mgp["coarse grid solver"] = "direct"
+    params["performance"]["dgs_splitting"] = "lsq"
+    params["visualization"]["export"] = False
+    params["visualization"]["automatically open paraview"] = False
+    params["logging"]["loglevel"] = "ERROR"
+    s = Settings(params)
+    s.solver.method = "multigrid"
+    s.update_setting("solver.discretization", "dg")
+    dg = DGFEM(settings=s, solve_multigrid=True)
+
+    with setup_scope():
+        sv = SoAStokesVCycle(dg.levels, dg.transfers, dg.transfer_types,
+                             dg.settings, dtype=jnp.float32)
+    target = jax.devices()[0]
+    sv.to_device(target)
+    rhs = jax.device_put(dg.levels[-1].rhs.astype(jnp.float32), target)
+    u0 = jnp.zeros_like(rhs)
+    op = jax.device_put(dg.levels[-1].op, target)
+    out = {"grid": f"{n}x{n}_pu2_pp1",
+           "n_dof": int(rhs.shape[0]),
+           "levels": [list(map(int, d)) for d in sv.dims]}
+
+    def time_one(one):
+        u = u0
+        for _ in range(5):
+            u = one(rhs, u)
+        r5 = float(jnp.linalg.norm(rhs - op.matvec(u))
+                   / jnp.linalg.norm(rhs))
+        assert r5 < 1e-2, f"Stokes fused cycle not contracting: {r5}"
+
+        @jax.jit
+        def many(rhs, u, k):
+            def body(_, u):
+                return one(rhs, u)
+            return jax.lax.fori_loop(0, k, body, u)
+        jax.block_until_ready(many(rhs, u0, reps))
+        t0 = time.perf_counter()
+        jax.block_until_ready(many(rhs, u0, reps))
+        return (time.perf_counter() - t0) / reps * 1e3, r5
+
+    ms, r5 = time_one(sv.build_xla())
+    out["xla_ms"] = round(ms, 4)
+    out["residual_after_5_cycles"] = r5
+    if jax.default_backend() == "tpu" and use_pallas:
+        try:
+            ms, _ = time_one(sv.build())
+            out["soa_fused_ms"] = round(ms, 4)
+        except Exception as e:  # pragma: no cover — report and fall back
+            print(f"# stokes fused path failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+    out["v_cycle_ms"] = min(out["xla_ms"], out.get("soa_fused_ms",
+                                                   out["xla_ms"]))
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dtype", default="float32",
@@ -446,6 +536,13 @@ def main():
 
     # the five BASELINE.md benchmark configs, timed end to end
     if not args.skip_configs:
+        # Stokes per-V-cycle latency (the second-physics flagship metric)
+        try:
+            result["stokes"] = stokes_vcycle_metric(
+                use_pallas=not args.no_pallas)
+        except Exception as e:  # pragma: no cover — report, keep benching
+            print(f"# stokes metric failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
         result["configs"] = run_baseline_configs()
 
     print(json.dumps(result))
