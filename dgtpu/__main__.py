@@ -59,6 +59,12 @@ def build_parser():
     parser.add_argument("--paramfile", type=str, help="alternate paramfile.yml")
     parser.add_argument("--backend", type=str, default=None,
                         help="force a JAX backend (cpu|tpu)")
+    parser.add_argument("--precision", type=str, default=None,
+                        choices=("full", "mixed"),
+                        help="multigrid precision: full (f64 cycles, "
+                             "reference parity) or mixed (f32 fused SoA "
+                             "V-cycles + f64 defect refinement — f64 "
+                             "accuracy at f32 speed; dgtpu extension)")
     return parser
 
 
@@ -107,6 +113,7 @@ def main(argv=None):
                       solve_multigrid=args.solve_multigrid,
                       solve_finite_volume_method=args.solve_finite_volume_method,
                       smoother=args.smoother, shards=args.shards,
+                      precision=args.precision,
                       discretization=discretization,
                       check_eigenvalues=args.check_eigenvalues,
                       check_condition_number=args.check_condition_number,

@@ -302,6 +302,8 @@ class SoAVCycle(PallasVCycle):
         rc01 = self._soa_restrict(k - 1, Rs[k - 1], r01)
         zc = tuple(jnp.zeros_like(r) for r in rc01)
         ec01 = self._soa_cycle(k - 1, consts, rc01, zc)
+        if self.cycle_type == "W" and k - 1 > 0:
+            ec01 = self._soa_cycle(k - 1, consts, rc01, ec01)
         p01 = self._soa_prolong(k - 1, Ps[k - 1], ec01)
         u01 = tuple(u + p for u, p in zip(u01, p01))
         return self._soa_smooth(k, levels[k], rhs01, u01, 2 * post)

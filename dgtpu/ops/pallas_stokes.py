@@ -167,6 +167,8 @@ class SoAStokesVCycle:
             else:
                 raise ValueError(t.kind)
 
+        self.cycle_type = str(getattr(settings.solver.multigrid,
+                                      "cycle_type", "V")).upper()
         self.coarse_solver = settings.solver.multigrid.coarse_grid_solver
         if self.coarse_solver in ("direct", "amg"):
             self.coarse = self._coarse_tensors(levels[0])
@@ -443,6 +445,9 @@ class SoAStokesVCycle:
         z_p = tuple(jnp.zeros_like(r) for r in rc_cont01)
         ec_uv, ec_p = self._cycle(k - 1, consts, rc_mom01, rc_cont01,
                                   z_uv, z_p)
+        if self.cycle_type == "W" and k - 1 > 0:
+            ec_uv, ec_p = self._cycle(k - 1, consts, rc_mom01, rc_cont01,
+                                      ec_uv, ec_p)
         pe_uv, pe_p = self._prolong(k - 1, Ps[k - 1], ec_uv, ec_p)
         uv01 = tuple(u + e for u, e in zip(uv01, pe_uv))
         p01 = tuple(q + e for q, e in zip(p01, pe_p))

@@ -97,6 +97,8 @@ class PallasVCycle:
                 self.split_blocks.append(bc)
                 self.split_Dinv.append(dc)
                 self.evens.append(rolled.parity_mask(nj, dtype))
+        self.cycle_type = str(getattr(settings.solver.multigrid,
+                                      "cycle_type", "V")).upper()
         self.coarse_solver = settings.solver.multigrid.coarse_grid_solver
         if self.coarse_solver in ("direct", "amg"):
             nj0, ni0 = self.dims[0]
@@ -203,6 +205,8 @@ class PallasVCycle:
         r = self._residual(k, consts, rhs, u)
         r_c = self._restrict(k - 1, Rs[k - 1], r)
         e_c = self._cycle(k - 1, consts, r_c, jnp.zeros_like(r_c))
+        if self.cycle_type == "W" and k - 1 > 0:
+            e_c = self._cycle(k - 1, consts, r_c, e_c)
         u = u + self._prolong(k - 1, Ps[k - 1], e_c)
         u = self._smooth(k, consts, rhs, u, 2 * post)
         return u

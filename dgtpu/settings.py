@@ -87,6 +87,7 @@ class Settings:
             "exact_solution_tag": "problem.exact_solution.tag",
             "smoother": "solver.smoother",
             "shards": "performance.n_shards",
+            "precision": "performance.precision",
         }
         for kw, path in mapping.items():
             if kwargs.get(kw) is not None and kwargs.get(kw) is not False:

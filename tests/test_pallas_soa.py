@@ -87,6 +87,47 @@ def test_soa_matches_rolled_ogrid(ogrid):
     _compare(ogrid, expect_periodic=True)
 
 
+def test_soa_w_cycle_matches_generic(flagship):
+    """cycle_type: W is honored inside the fused kernels (coarse
+    sub-hierarchies visited twice, matching MultigridSolver)."""
+    import copy
+    from dgtpu.ops.smoothers import element_colors
+    from dgtpu.solvers.multigrid import MultigridSolver
+
+    dg = flagship
+    s = copy.deepcopy(dg.settings)
+    s.solver.multigrid.cycle_type = "W"
+    dims = [(l.Nj, l.Ni) for l in dg.levels]
+    sv = SoAVCycle([l.op for l in dg.levels], dg.transfers,
+                   dg.transfer_types, s, dims,
+                   dtype=jnp.float64, interpret=True)
+    assert sv.cycle_type == "W"
+    colors = [element_colors(l.Ni, l.Nj) for l in dg.levels]
+    mg = MultigridSolver([l.op for l in dg.levels], dg.transfers,
+                         dg.transfer_types, s, colors=colors)
+    rhs = dg.levels[-1].rhs
+    soa = sv.build_xla()
+    ug = us = jnp.zeros_like(rhs)
+    for _ in range(2):
+        ug = mg.v_cycle(len(dg.levels), rhs, ug)
+        us = soa(rhs, us)
+    # same W recursion, different smoother layout: residuals must agree
+    op = dg.levels[-1].op
+    rg = float(jnp.linalg.norm(rhs - op.matvec(ug)))
+    rs = float(jnp.linalg.norm(rhs - op.matvec(us)))
+    assert rs == pytest.approx(rg, rel=0.3)
+    # and W contracts at least as fast as V per cycle
+    sv_v = SoAVCycle([l.op for l in dg.levels], dg.transfers,
+                     dg.transfer_types, dg.settings, dims,
+                     dtype=jnp.float64, interpret=True)
+    soa_v = sv_v.build_xla()
+    uv = jnp.zeros_like(rhs)
+    for _ in range(2):
+        uv = soa_v(rhs, uv)
+    rv = float(jnp.linalg.norm(rhs - op.matvec(uv)))
+    assert rs <= rv * 1.05
+
+
 def test_soa_rejects_odd_ni(flagship):
     """The color-split layout needs an even Ni on every level."""
     dg = flagship

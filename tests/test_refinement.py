@@ -41,3 +41,66 @@ def test_refined_solve_reaches_1e10():
     from dgtpu.solvers.direct import solve_direct
     ud = np.asarray(solve_direct(dg.levels[-1].op, rhs))
     assert np.abs(np.asarray(u) - ud).max() < 1e-8
+
+
+def test_precision_mixed_api_poisson():
+    """performance.precision: mixed routes the multigrid solve through f32
+    fused SoA V-cycles + f64 defect refinement, matching the full-f64 path."""
+    from dgtpu.api import DGFEM
+    from dgtpu.settings import Settings, load_params
+
+    def run(precision):
+        params = load_params()
+        params["grid"]["filename"] = "Rectangle_8X8_nPoly2.xyz"
+        params["grid"]["polynomial degree"] = 2
+        params["solution"]["u"]["polynomial degree"] = 2
+        params["solver"]["multigrid"]["polynomial coarsening"]["levels"]["u"] = "1,2"
+        params["performance"]["precision"] = precision
+        params["visualization"]["export"] = False
+        params["visualization"]["automatically open paraview"] = False
+        params["logging"]["loglevel"] = "ERROR"
+        s = Settings(params)
+        s.solver.method = "multigrid"
+        s.update_setting("solver.discretization", "dg")
+        dg = DGFEM(settings=s, solve_multigrid=True)
+        dg.solve()
+        return dg
+
+    mixed = run("mixed")
+    assert mixed.residuals[-1] < 1e-6
+    full = run("full")
+    assert np.isclose(mixed.L2_error_u, full.L2_error_u, rtol=1e-6)
+
+
+def test_precision_mixed_api_stokes():
+    """Mixed precision on the Stokes saddle system (fused DGS inner cycle)."""
+    from dgtpu.api import DGFEM
+    from dgtpu.settings import Settings, load_params
+
+    params = load_params()
+    params["problem"]["type"] = "Stokes"
+    params["grid"]["filename"] = "Rectangle_4X4_nPoly2.xyz"
+    params["grid"]["polynomial degree"] = 2
+    params["solution"]["u"]["polynomial degree"] = 2
+    params["solution"]["p"]["polynomial degree"] = 1
+    params["solution"]["ordering"] = "global"
+    mgp = params["solver"]["multigrid"]
+    mgp["penalty parameter coarsening"]["enabled"] = False
+    mgp["polynomial coarsening"]["enabled"] = True
+    mgp["polynomial coarsening"]["levels"]["u"] = "1,2"
+    mgp["geometric coarsening"]["enabled"] = False
+    for w in ("pre smoother", "post smoother"):
+        mgp["polynomial coarsening"][w]["smoother"] = "distributive_gauss_seidel"
+    mgp["coarse grid solver"] = "direct"
+    params["performance"]["precision"] = "mixed"
+    params["performance"]["dgs_splitting"] = "lsq"
+    params["visualization"]["export"] = False
+    params["visualization"]["automatically open paraview"] = False
+    params["logging"]["loglevel"] = "ERROR"
+    s = Settings(params)
+    s.solver.method = "multigrid"
+    s.update_setting("solver.discretization", "dg")
+    dg = DGFEM(settings=s, solve_multigrid=True)
+    dg.solve()
+    assert dg.residuals[-1] < 1e-6
+    assert dg.L2_error_u < 0.05
