@@ -18,10 +18,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 # persistent compile cache: the 1-core suite is compile-dominated; cached
 # binaries cut reruns substantially (env vars are not plumbed in this jax
-# build — only jax.config.update works)
+# build — only jax.config.update works).  Kept separate from bench.py's
+# .jax_cache: loading the suite's CPU AOT entries from a process with a
+# different XLA:CPU backend config spams target-feature-mismatch errors.
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(os.path.dirname(
-                      os.path.abspath(__file__))), ".jax_cache"))
+                      os.path.abspath(__file__))), ".jax_cache_tests"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import dgtpu  # noqa: E402,F401  (enables x64)
