@@ -62,6 +62,41 @@ def _stencil_bytes_per_cycle(mg, dims):
     return total
 
 
+def time_per_iter(many, rhs, u0, reps, scale=8):
+    """Marginal per-iteration device time via a two-point slope fit.
+
+    ``many(rhs, u, k)`` runs k iterations under one dispatch.  Through the
+    remote-TPU tunnel a single dispatch carries a large FIXED overhead
+    (~30 ms measured: RPC round-trip + remote dispatch), so total/k
+    overstates small kernels by fixed/k — the round-1 flagship read
+    0.19 ms/cycle when the true device time is 0.04 ms.  Timing k and
+    scale*k iterations and taking the slope cancels the fixed term.
+    Completion is forced with a device-to-host scalar read
+    (block_until_ready alone proved unreliable through the tunnel), and
+    each timed call perturbs u0 so no two calls carry identical buffers.
+
+    Returns (per_iter_ms, fixed_ms).
+    """
+    import jax.numpy as jnp
+
+    k1, k2 = reps, reps * scale
+
+    def run(k, i):
+        u = u0 + jnp.asarray(i * 1e-30, u0.dtype)
+        t0 = time.perf_counter()
+        float(many(rhs, u, k)[(0,) * many_out_ndim])
+        return time.perf_counter() - t0
+
+    many_out_ndim = jnp.ndim(many(rhs, u0, 1))
+    for k in (k1, k2):   # compile + warm both shapes
+        run(k, 0)
+    t1 = min(run(k1, i) for i in (1, 2, 3))
+    t2 = min(run(k2, i) for i in (4, 5, 6))
+    per = (t2 - t1) / (k2 - k1) * 1e3
+    fixed = t1 * 1e3 - k1 * per
+    return max(per, 1e-6), fixed
+
+
 def _timed_dgfem(settings_fn, **kwargs):
     """Build + solve a DGFEM case; returns (dg, solve_seconds)."""
     from dgtpu.api import DGFEM
@@ -240,10 +275,8 @@ def stokes_vcycle_metric(reps=100, n=8, use_pallas=True):
             def body(_, u):
                 return one(rhs, u)
             return jax.lax.fori_loop(0, k, body, u)
-        jax.block_until_ready(many(rhs, u0, reps))
-        t0 = time.perf_counter()
-        jax.block_until_ready(many(rhs, u0, reps))
-        return (time.perf_counter() - t0) / reps * 1e3, r5
+        ms, _ = time_per_iter(many, rhs, u0, reps)
+        return ms, r5
 
     ms, r5 = time_one(sv.build_xla())
     out["xla_ms"] = round(ms, 4)
@@ -432,11 +465,9 @@ def main():
                / jnp.linalg.norm(rhs))
     assert r5 < 1e-2, f"fast path not contracting: rel residual {r5} after 5 cycles"
 
-    # warmup + timing (amortized over the scan -> pure device time per cycle)
-    jax.block_until_ready(many_cycles(rhs, u0, args.reps))
-    t0 = time.perf_counter()
-    jax.block_until_ready(many_cycles(rhs, u0, args.reps))
-    t_amortized = (time.perf_counter() - t0) / args.reps * 1e3
+    # marginal per-cycle device time (slope fit — excludes the fixed
+    # per-dispatch tunnel overhead, reported separately)
+    t_amortized, t_fixed = time_per_iter(many_cycles, rhs, u0, args.reps)
 
     # time-to-1e-10 via mixed-precision refinement (f64 defect, f32 cycles) —
     # the BASELINE parity metric
@@ -480,6 +511,7 @@ def main():
         "value": round(t_amortized, 4),
         "unit": "ms",
         "vs_baseline": round(1.0 / t_amortized, 3),
+        "fixed_dispatch_overhead_ms": round(t_fixed, 2),
         "dispatch_inclusive_ms": round(t_dispatch, 4),
         "dtype": args.dtype,
         "backend": jax.default_backend(),
@@ -506,10 +538,7 @@ def main():
             if rp >= 1e-2:
                 result[f"{tag}_residual_after_5"] = rp
                 return
-            jax.block_until_ready(many(rhs, u0, args.reps))
-            t0 = time.perf_counter()
-            jax.block_until_ready(many(rhs, u0, args.reps))
-            t_ms = (time.perf_counter() - t0) / args.reps * 1e3
+            t_ms, _ = time_per_iter(many, rhs, u0, args.reps)
             result[f"{tag}_ms"] = round(t_ms, 4)
             if t_ms < result["value"]:
                 result["value"] = round(t_ms, 4)
