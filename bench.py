@@ -402,6 +402,7 @@ def main():
     pallas_fn = None
     rolled_fn = None
     soa_fn = None
+    stream_fn = None
     if args.dtype == "float32":
         try:
             from dgtpu.ops.pallas_vcycle import PallasVCycle
@@ -454,6 +455,25 @@ def main():
                         return soa_one(rhs, u)
                     return jax.lax.fori_loop(0, n, body, u)
                 soa_fn = (soa_one, soa_many)
+            # beyond full VMEM residency: streamed-smoother hybrid (blocks
+            # streamed through a sequential pallas grid, vectors resident,
+            # coarse subtree as one fused kernel)
+            if (jax.default_backend() == "tpu" and not args.no_pallas
+                    and args.grid_n > args.soa_max_n):
+                from dgtpu.ops.pallas_stream import StreamedVCycle
+                with setup_scope():
+                    hv = StreamedVCycle([l.op for l in dg.levels],
+                                        dg.transfers, dg.transfer_types,
+                                        dg.settings, dims, dtype=dtype)
+                hv.to_device(target)
+                stream_one = hv.build()
+
+                @jax.jit
+                def stream_many(rhs, u, n):
+                    def body(_, u):
+                        return stream_one(rhs, u)
+                    return jax.lax.fori_loop(0, n, body, u)
+                stream_fn = (stream_one, stream_many)
         except Exception as e:  # pragma: no cover - report and fall back
             print(f"# fused path unavailable: {type(e).__name__}: {e}",
                   file=sys.stderr)
@@ -554,6 +574,8 @@ def main():
         try_impl("pallas_fused", pallas_fn)
     if soa_fn is not None:
         try_impl("soa_fused", soa_fn)
+    if stream_fn is not None:
+        try_impl("streamed", stream_fn)
 
     # achieved HBM bandwidth vs v5e peak for the best V-cycle (traffic is a
     # lower-bound model, so utilization is a lower bound too)

@@ -1,0 +1,378 @@
+"""HBM-streamed SoA smoother/residual kernels + the hybrid V-cycle.
+
+The fused V-cycles (``ops/pallas_soa.py``) keep every operator VMEM-resident
+— impossible beyond ~32x32 elements at p=5.  At larger sizes the *vectors*
+are still tiny (u at 64x64 p=5 is 0.6 MB) while the *blocks* are tens of
+MB, so this module streams the blocks: a ``pallas_call`` whose grid runs
+``(half_sweep, chunk)`` sequentially (TPU grids execute in order on one
+core), keeping the state vector in a revisited VMEM output while Mosaic's
+pipeline machinery double-buffers the per-chunk block DMA.  One kernel
+launch therefore runs ALL red-black half-sweeps of a smoother application
+at streaming bandwidth — the update math is bit-identical to
+``pallas_soa._soa_smooth``.
+
+``StreamedVCycle`` composes this into a full cycle for big grids: the
+coarse sub-hierarchy that fits VMEM runs as one fused ``SoAVCycle``
+kernel, levels above it smooth with streamed kernels, and transfers run
+as XLA tile reshapes (the dense lane-tensor transfers of the fused path
+scale O(N^2) and stop at 32x32).
+
+V-cycle semantics mirror ``dgfem/solver.py:141-207``; streaming structure
+is TPU-native with no reference counterpart.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dgtpu.ops import rolled
+from dgtpu.ops.pallas_soa import _mac
+
+
+def _pick_chunk(C, nh, target_lanes=512):
+    """Largest chunk <= target that divides C and is a multiple of nh."""
+    best = nh
+    step = nh
+    k = 1
+    while k * step <= min(C, target_lanes):
+        if C % (k * step) == 0:
+            best = k * step
+        k += 1
+    return best
+
+
+class StreamedLevel:
+    """Streamed smoother + residual for one level in the SoA layout.
+
+    Host-side state: ``A_all`` (2, 6, B, B, C) per-color stencil slots
+    0..4 plus the diagonal inverse in slot 5 — ONE streamed operand so a
+    half-sweep reads each byte exactly once.
+    """
+
+    def __init__(self, op, nj, ni, dtype=jnp.float32, interpret=False,
+                 chunk_lanes=512):
+        from dgtpu.ops.linalg import host_inv
+        if ni % 2:
+            raise ValueError("StreamedLevel needs an even Ni")
+        self.nj, self.ni = nj, ni
+        self.nh = nh = ni // 2
+        self.C = C = nj * nh
+        self.dtype = dtype
+        self.interpret = interpret
+        rb = rolled.to_rolled(op, ni, nj)
+        self.B = B = rb.shape[-1]
+        dinv = host_inv(rb[:, :, 0])
+        pair_b, pair_d = rolled.pack_operator_colors(
+            np.asarray(rb), np.asarray(dinv))
+        A_all = np.zeros((2, 6, B, B, C), np.float64)
+        for c in range(2):
+            x = np.asarray(pair_b[c])                      # (nj, nh, 5, a, b)
+            A_all[c, :5] = (np.transpose(x, (2, 4, 3, 0, 1))
+                            .reshape(5, B, B, C))
+            d = np.asarray(pair_d[c])                      # (nj, nh, a, b)
+            A_all[c, 5] = (np.transpose(d, (3, 2, 0, 1)).reshape(B, B, C))
+        self.A_all = jnp.asarray(A_all.astype(np.dtype(dtype)))
+        lanes_j = np.repeat(np.arange(nj), nh)
+        lanes_ip = np.tile(np.arange(nh), nj)
+        m = np.stack([lanes_j % 2 == 0, lanes_ip == 0, lanes_ip == nh - 1])
+        self.masks = jnp.asarray(m.astype(np.dtype(dtype))[:, None, :])
+        nbr = np.asarray(op.nbr)
+        msk = np.asarray(op.mask)
+        self.periodic = bool(ni > 1 and msk[0, 1] and nbr[0, 1] == ni - 1)
+        self.Lc = _pick_chunk(C, nh, chunk_lanes)
+        self.n_chunks = C // self.Lc
+
+    def to_device(self, device):
+        self.A_all = jax.device_put(self.A_all, device)
+        self.masks = jax.device_put(self.masks, device)
+        return self
+
+    # -- shared in-kernel math ------------------------------------------------
+    #
+    # State lattices carry an nh-lane ZERO halo on both ends: (2, B, C+2nh),
+    # chunk lanes live at padded offset nh + i*Lc.  j-neighbor reads are then
+    # plain +/-nh shifted windows with no edge clamping; the zero halo is
+    # exactly the zero-shift convention of pallas_soa (boundary rows hit
+    # zero blocks anyway).  i-neighbors are within-chunk rolls (chunks are
+    # row-aligned, so rows never straddle a chunk edge).
+
+    def _chunk_fields(self, state_ref, other, i, mask_chunk):
+        """(center, roll+, roll-, jL, jR, even-mask) for chunk i of ``other``."""
+        B, nh, Lc = self.B, self.nh, self.Lc
+        me, mrs, mre = mask_chunk[0], mask_chunk[1], mask_chunk[2]
+        win = state_ref[other, :, pl.dslice(i * Lc, Lc + 2 * nh)]
+        o = win[:, nh:nh + Lc]
+        roll_p = jnp.roll(o, 1, axis=1)
+        roll_m = jnp.roll(o, -1, axis=1)
+        if self.periodic:
+            roll_p = (1.0 - mrs) * roll_p + mrs * jnp.roll(o, 1 - nh, axis=1)
+            roll_m = (1.0 - mre) * roll_m + mre * jnp.roll(o, nh - 1, axis=1)
+        jL = win[:, :Lc]
+        jR = win[:, 2 * nh:2 * nh + Lc]
+        return o, roll_p, roll_m, jL, jR, me
+
+    def _fields_for_color(self, c_is0, o, roll_p, roll_m, jL, jR, me):
+        """Color-dependent i-neighbor blend (pallas_soa._nbr_fields)."""
+        iL0 = me * roll_p + (1.0 - me) * o
+        iR0 = me * o + (1.0 - me) * roll_m
+        iL1 = me * o + (1.0 - me) * roll_p
+        iR1 = me * roll_m + (1.0 - me) * o
+        iL = jnp.where(c_is0, iL0, iL1)
+        iR = jnp.where(c_is0, iR0, iR1)
+        return iL, iR, jL, jR
+
+    # -- kernels --------------------------------------------------------------
+
+    def _pad(self, s01):
+        nh = self.nh
+        return jnp.pad(s01, ((0, 0), (0, 0), (nh, nh)))
+
+    def half_sweeps(self, n_half):
+        """Build fn(rhs01, u01) running n_half red-black half-sweeps.
+
+        rhs01/u01: (2, B, C) stacked color lattices.  One pallas_call;
+        grid (n_half, n_chunks); blocks streamed once per half-sweep.
+        """
+        B, C, Lc, nh = self.B, self.C, self.Lc, self.nh
+        n_chunks = self.n_chunks
+
+        def kernel(rhs_ref, u_ref, mask_ref, A_ref, state_ref):
+            h = pl.program_id(0)
+            i = pl.program_id(1)
+            c = jax.lax.rem(h, jnp.int32(2))
+
+            @pl.when((h == 0) & (i == 0))
+            def _init():
+                state_ref[...] = u_ref[...]
+
+            mask_chunk = mask_ref[:, :, pl.dslice(i * Lc, Lc)]
+            fields = self._chunk_fields(state_ref, 1 - c, i, mask_chunk)
+            iL, iR, jL, jR = self._fields_for_color(c == 0, *fields)
+            off = (_mac(A_ref[0, 1], iL) + _mac(A_ref[0, 2], iR)
+                   + _mac(A_ref[0, 3], jL) + _mac(A_ref[0, 4], jR))
+            rhs_c = rhs_ref[c, :, pl.dslice(i * Lc, Lc)]
+            unew = _mac(A_ref[0, 5], rhs_c - off)
+            state_ref[c, :, pl.dslice(nh + i * Lc, Lc)] = unew
+
+        vfull = pl.BlockSpec(memory_space=pltpu.VMEM)
+        call = pl.pallas_call(
+            kernel,
+            grid=(n_half, n_chunks),
+            in_specs=[
+                vfull,                                     # rhs (2, B, C)
+                vfull,                                     # u0 padded
+                vfull,                                     # masks (3, 1, C)
+                pl.BlockSpec((1, 6, B, B, Lc),
+                             lambda h, i: (jax.lax.rem(h, jnp.int32(2)), 0, 0, 0, i)),
+            ],
+            out_specs=pl.BlockSpec((2, B, C + 2 * nh), lambda h, i: (0, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((2, B, C + 2 * nh), self.dtype),
+            interpret=self.interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )
+
+        def fn(rhs01, u01):
+            out = call(rhs01, self._pad(u01), self.masks, self.A_all)
+            return out[:, :, nh:nh + C]
+
+        return fn
+
+    def residual(self):
+        """Build fn(rhs01, u01) -> r01, streaming both colors' blocks once."""
+        B, C, Lc, nh = self.B, self.C, self.Lc, self.nh
+        n_chunks = self.n_chunks
+
+        def kernel(rhs_ref, u_ref, mask_ref, A_ref, out_ref):
+            c = pl.program_id(0)
+            i = pl.program_id(1)
+            mask_chunk = mask_ref[:, :, pl.dslice(i * Lc, Lc)]
+            fields = self._chunk_fields(u_ref, 1 - c, i, mask_chunk)
+            iL, iR, jL, jR = self._fields_for_color(c == 0, *fields)
+            u_c = u_ref[c, :, pl.dslice(nh + i * Lc, Lc)]
+            au = (_mac(A_ref[0, 0], u_c)
+                  + _mac(A_ref[0, 1], iL) + _mac(A_ref[0, 2], iR)
+                  + _mac(A_ref[0, 3], jL) + _mac(A_ref[0, 4], jR))
+            out_ref[...] = (rhs_ref[c, :, pl.dslice(i * Lc, Lc)] - au)[None]
+
+        vfull = pl.BlockSpec(memory_space=pltpu.VMEM)
+        call = pl.pallas_call(
+            kernel,
+            grid=(2, n_chunks),
+            in_specs=[
+                vfull, vfull, vfull,
+                pl.BlockSpec((1, 6, B, B, Lc),
+                             lambda c, i: (c, 0, 0, 0, i)),
+            ],
+            out_specs=pl.BlockSpec((1, B, Lc), lambda c, i: (c, 0, i)),
+            out_shape=jax.ShapeDtypeStruct((2, B, C), self.dtype),
+            interpret=self.interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )
+
+        def fn(rhs01, u01):
+            return call(rhs01, self._pad(u01), self.masks, self.A_all)
+
+        return fn
+
+
+def _vec_to_soa2(v, nj, ni, B):
+    """(N*B,) -> (2, B, C) stacked color lattices."""
+    nh = ni // 2
+    ev = rolled.parity_mask(nj, v.dtype)
+    u0, u1 = rolled.pack_colors(v.reshape(nj, ni, B), ev)
+    return jnp.stack([u0.reshape(nj * nh, B).T, u1.reshape(nj * nh, B).T])
+
+
+def _soa2_to_vec(s, nj, ni, B):
+    nh = ni // 2
+    ev = rolled.parity_mask(nj, s.dtype)
+    a = s[0].T.reshape(nj, nh, B)
+    b = s[1].T.reshape(nj, nh, B)
+    return rolled.unpack_colors(a, b, ev).reshape(-1)
+
+
+class StreamedVCycle:
+    """Hybrid V-cycle for grids beyond VMEM residency.
+
+    Levels whose fused-hierarchy footprint fits ``vmem_budget`` run as one
+    fused SoAVCycle kernel (the coarse sub-hierarchy); levels above it
+    smooth/residual with streamed kernels and transfer via XLA tile
+    reshapes.  Interface matches SoAVCycle.build(): one_cycle(rhs, u).
+    """
+
+    def __init__(self, ops, transfers, types, settings, dims,
+                 dtype=jnp.float32, interpret=False,
+                 vmem_budget=96 * 1024 * 1024, chunk_lanes=512):
+        from dgtpu.ops.pallas_soa import SoAVCycle
+        self.dtype = dtype
+        self.dims = list(dims)
+        self.transfers = transfers
+        self.types = types
+        self.n_lev = len(ops)
+        self.cycle_type = str(getattr(settings.solver.multigrid,
+                                      "cycle_type", "V")).upper()
+        # fused-subtree cut: include levels while the padded SoA footprint
+        # fits the budget (blocks ~2x logical for padding headroom)
+        size = 0.0
+        cut = 0
+        for k, op in enumerate(ops):
+            n, _, br, bc = op.blocks.shape
+            lvl_bytes = 2.0 * (7 * n * br * bc) * jnp.dtype(dtype).itemsize
+            if size + lvl_bytes > vmem_budget or k == self.n_lev - 1:
+                break
+            size += lvl_bytes
+            cut = k + 1
+        if cut < 1:
+            raise ValueError("even the coarsest level exceeds the VMEM budget")
+        self.cut = cut
+        self.sub = SoAVCycle(ops[:cut], transfers[:cut - 1], types[:cut - 1],
+                             settings, dims[:cut], dtype=dtype,
+                             interpret=interpret)
+        self.streams = {}
+        for k in range(cut, self.n_lev):
+            nj, ni = dims[k]
+            self.streams[k] = StreamedLevel(ops[k], nj, ni, dtype=dtype,
+                                            interpret=interpret,
+                                            chunk_lanes=chunk_lanes)
+        self._cfg = {}
+        for t in set(types):
+            node = getattr(settings.solver.multigrid, f"{t}_coarsening")
+            self._cfg[t] = (int(node.pre_smoother.iterations),
+                            int(node.post_smoother.iterations))
+        # geometric tile transfer matrices (XLA path, PallasVCycle layout)
+        self.R, self.P = [], []
+        for t in transfers:
+            if t.kind == "geometric":
+                B = t.R.shape[1] // 4
+                self.R.append(jnp.stack(
+                    [t.R[:, k * B:(k + 1) * B] for k in range(4)]).astype(dtype))
+                self.P.append(jnp.stack(
+                    [t.P[k * B:(k + 1) * B, :] for k in range(4)]).astype(dtype))
+            else:
+                self.R.append(t.R.astype(dtype))
+                self.P.append(t.P.astype(dtype))
+        self._kern = {}
+
+    def to_device(self, device):
+        self.sub.to_device(device)
+        for s in self.streams.values():
+            s.to_device(device)
+        self.R = [jax.device_put(r, device) for r in self.R]
+        self.P = [jax.device_put(p, device) for p in self.P]
+        return self
+
+    def _restrict(self, k, r):
+        from dgtpu.ops.pallas_vcycle import _tile_restrict
+        t = self.transfers[k]
+        nj_c, ni_c = self.dims[k]
+        if t.kind == "penalty":
+            return r
+        B = r.shape[-1] if r.ndim == 3 else None
+        if t.kind == "geometric":
+            return _tile_restrict(r, self.R[k], nj_c, ni_c)
+        return jax.lax.dot_general(r, self.R[k], (((2,), (1,)), ((), ())),
+                                   preferred_element_type=r.dtype)
+
+    def _prolong(self, k, e):
+        from dgtpu.ops.pallas_vcycle import _tile_prolong
+        t = self.transfers[k]
+        nj_c, ni_c = self.dims[k]
+        if t.kind == "penalty":
+            return e
+        if t.kind == "geometric":
+            return _tile_prolong(e, self.P[k], nj_c, ni_c)
+        return jax.lax.dot_general(e, self.P[k], (((2,), (1,)), ((), ())),
+                                   preferred_element_type=e.dtype)
+
+    def _level_kernels(self, k):
+        if k not in self._kern:
+            s = self.streams[k]
+            pre, post = self._cfg[self.types[k - 1]]
+            self._kern[k] = (s.half_sweeps(4 * pre), s.half_sweeps(4 * post),
+                             s.residual())
+        return self._kern[k]
+
+    def _cycle(self, k, rhs, u):
+        """rhs/u: (Nj, Ni, B) rolled layout at streamed levels."""
+        if k < self.cut:
+            flat = rhs.reshape(-1)
+            out = self.sub._fn(flat, u.reshape(-1))
+            return out.reshape(rhs.shape)
+        nj, ni = self.dims[k]
+        B = rhs.shape[-1]
+        s = self.streams[k]
+        pre_fn, post_fn, res_fn = self._level_kernels(k)
+        r01 = _vec_to_soa2(rhs.reshape(-1), nj, ni, B)
+        u01 = _vec_to_soa2(u.reshape(-1), nj, ni, B)
+        u01 = pre_fn(r01, u01)
+        res01 = res_fn(r01, u01)
+        r_roll = _soa2_to_vec(res01, nj, ni, B).reshape(nj, ni, B)
+        r_c = self._restrict(k - 1, r_roll)
+        e_c = self._cycle(k - 1, r_c, jnp.zeros_like(r_c))
+        if self.cycle_type == "W" and k - 1 >= self.cut:
+            e_c = self._cycle(k - 1, r_c, e_c)
+        corr = self._prolong(k - 1, e_c)
+        u01 = u01 + _vec_to_soa2(corr.reshape(-1), nj, ni, B)
+        u01 = post_fn(r01, u01)
+        return _soa2_to_vec(u01, nj, ni, B).reshape(nj, ni, B)
+
+    def build(self):
+        if self.sub._fn is None:
+            self.sub.build()
+        nj, ni = self.dims[-1]
+
+        @jax.jit
+        def one_cycle(rhs, u):
+            B = rhs.size // (nj * ni)
+            r = rhs.astype(self.dtype).reshape(nj, ni, B)
+            x = u.astype(self.dtype).reshape(nj, ni, B)
+            out = self._cycle(self.n_lev - 1, r, x)
+            return out.reshape(rhs.shape)
+
+        self._fn = one_cycle
+        return one_cycle
