@@ -314,13 +314,19 @@ class DGFEM:
                                        "n_shards", 1) or 1)
                 precision = str(getattr(getattr(s, "performance", None),
                                         "precision", "full"))
+                if precision == "mixed" and n_shards <= 1:
+                    try:
+                        u_modal, res, n = self._solve_multigrid_mixed(finest)
+                        u_modal = synchronize(u_modal)
+                    except NotImplementedError as e:
+                        self.logger.warning(str(e))
+                        precision = "full"
                 if n_shards > 1:
                     u_modal, res, n = self._solve_multigrid_sharded(n_shards)
                     u_modal = synchronize(u_modal)
                     self.residuals = self.mg.history
                 elif precision == "mixed":
-                    u_modal, res, n = self._solve_multigrid_mixed(finest)
-                    u_modal = synchronize(u_modal)
+                    pass  # solved above
                 else:
                     from dgtpu.solvers.multigrid import MultigridSolver
                     colors = [element_colors(l.Ni, l.Nj) for l in self.levels]
@@ -382,6 +388,22 @@ class DGFEM:
         on_tpu = jax.default_backend() == "tpu"
         dims = [(l.Nj, l.Ni) for l in self.levels]
         stokes = self.levels[-1].block_A is not None
+        # the fused builders' transfer/coarse lane tensors scale O(N^2);
+        # past VMEM residency the streamed hybrid (TPU) or the rolled XLA
+        # cycle (CPU) takes over
+        budget = 96 * 1024 * 1024
+        fused_bytes = 0.0
+        for lvl in self.levels:
+            op = lvl.op if not stokes else lvl.block_A
+            n, _, br, bc = op.blocks.shape
+            fused_bytes += 2.0 * 7 * n * br * bc * 4
+        big = fused_bytes > budget
+        if stokes and big:
+            # no streamed Stokes kernel yet — this is a graceful signal to
+            # solve() to run the full-precision generic path instead
+            raise NotImplementedError(
+                "mixed precision: the Stokes hierarchy exceeds the fused-"
+                "kernel VMEM budget; running full precision")
         cyc = None
         with setup_scope():
             try:
@@ -390,13 +412,25 @@ class DGFEM:
                     sv = SoAStokesVCycle(self.levels, self.transfers,
                                          self.transfer_types, s,
                                          dtype=jnp.float32)
+                    cyc = sv.build() if on_tpu else sv.build_xla()
+                    kind = "SoA fused" if on_tpu else "SoA (XLA)"
+                elif big and on_tpu:
+                    from dgtpu.ops.pallas_stream import StreamedVCycle
+                    hv = StreamedVCycle([l.op for l in self.levels],
+                                        self.transfers, self.transfer_types,
+                                        s, dims, dtype=jnp.float32)
+                    cyc = hv.build()
+                    kind = "streamed hybrid"
+                elif big:
+                    raise ValueError("hierarchy exceeds the fused-kernel "
+                                     "VMEM budget (CPU backend)")
                 else:
                     from dgtpu.ops.pallas_soa import SoAVCycle
                     sv = SoAVCycle([l.op for l in self.levels],
                                    self.transfers, self.transfer_types, s,
                                    dims, dtype=jnp.float32)
-                cyc = sv.build() if on_tpu else sv.build_xla()
-                kind = "SoA fused" if on_tpu else "SoA (XLA)"
+                    cyc = sv.build() if on_tpu else sv.build_xla()
+                    kind = "SoA fused" if on_tpu else "SoA (XLA)"
             except (ValueError, NotImplementedError) as e:
                 self.logger.info(f"SoA fused cycle unavailable ({e}); "
                                  "falling back to the rolled XLA cycle")
