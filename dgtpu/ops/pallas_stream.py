@@ -256,14 +256,18 @@ class StreamedVCycle:
         self.n_lev = len(ops)
         self.cycle_type = str(getattr(settings.solver.multigrid,
                                       "cycle_type", "V")).upper()
-        # fused-subtree cut: include levels while the padded SoA footprint
-        # fits the budget (blocks ~2x logical for padding headroom)
+        # fused-subtree cut: include levels while (a) the padded SoA
+        # footprint fits the budget (blocks ~2x logical for padding
+        # headroom) and (b) the level stays small enough that the fused
+        # path's dense per-color-pair transfer/coarse lane tensors remain
+        # tractable — those scale O(cells^2), so cap cells at 32x32
         size = 0.0
         cut = 0
         for k, op in enumerate(ops):
             n, _, br, bc = op.blocks.shape
             lvl_bytes = 2.0 * (7 * n * br * bc) * jnp.dtype(dtype).itemsize
-            if size + lvl_bytes > vmem_budget or k == self.n_lev - 1:
+            if (size + lvl_bytes > vmem_budget or n > 1024
+                    or k == self.n_lev - 1):
                 break
             size += lvl_bytes
             cut = k + 1
