@@ -32,10 +32,18 @@ from dgtpu.ops import rolled
 from dgtpu.ops.pallas_soa import _mac
 
 
-def _pick_chunk(C, nh, target_lanes=512):
-    """Largest chunk <= target that divides C and is a multiple of nh."""
-    best = nh
-    step = nh
+def _pick_chunk(C, nh, target_lanes=512, align=128):
+    """Chunk size for streaming: a multiple of lcm(nh, align) dividing C.
+
+    Mosaic requires lane-dimension vector stores to be 128-aligned, so
+    multi-chunk streaming needs chunk boundaries (and the halo pad) at
+    128-lane multiples (``align=128`` on hardware; interpret-mode tests
+    may lower it to exercise the multi-chunk logic on tiny grids).  When
+    no such chunk exists the level runs as a single chunk (no padding,
+    roll-based neighbor access).
+    """
+    step = nh * align // np.gcd(nh, align)      # lcm(nh, align)
+    best = C                                    # single-chunk fallback
     k = 1
     while k * step <= min(C, target_lanes):
         if C % (k * step) == 0:
@@ -53,7 +61,7 @@ class StreamedLevel:
     """
 
     def __init__(self, op, nj, ni, dtype=jnp.float32, interpret=False,
-                 chunk_lanes=512):
+                 chunk_lanes=512, align=128):
         from dgtpu.ops.linalg import host_inv
         if ni % 2:
             raise ValueError("StreamedLevel needs an even Ni")
@@ -82,8 +90,13 @@ class StreamedLevel:
         nbr = np.asarray(op.nbr)
         msk = np.asarray(op.mask)
         self.periodic = bool(ni > 1 and msk[0, 1] and nbr[0, 1] == ni - 1)
-        self.Lc = _pick_chunk(C, nh, chunk_lanes)
+        self.Lc = _pick_chunk(C, nh, chunk_lanes, align)
         self.n_chunks = C // self.Lc
+        # halo pad: 0 for the single-chunk (roll-based) path; otherwise the
+        # smallest align-multiple >= nh so every store/load offset is
+        # 128-lane aligned (a Mosaic requirement for lane-dim vector stores)
+        self.ph = 0 if self.n_chunks == 1 else \
+            ((nh + align - 1) // align) * align
 
     def to_device(self, device):
         self.A_all = jax.device_put(self.A_all, device)
@@ -92,26 +105,36 @@ class StreamedLevel:
 
     # -- shared in-kernel math ------------------------------------------------
     #
-    # State lattices carry an nh-lane ZERO halo on both ends: (2, B, C+2nh),
-    # chunk lanes live at padded offset nh + i*Lc.  j-neighbor reads are then
-    # plain +/-nh shifted windows with no edge clamping; the zero halo is
-    # exactly the zero-shift convention of pallas_soa (boundary rows hit
-    # zero blocks anyway).  i-neighbors are within-chunk rolls (chunks are
-    # row-aligned, so rows never straddle a chunk edge).
+    # Multi-chunk path: state lattices carry a ph-lane ZERO halo on both
+    # ends (ph = 128-aligned >= nh), chunk lanes live at padded offset
+    # ph + i*Lc.  Window loads and chunk stores then sit on 128-lane
+    # boundaries (Mosaic's alignment requirement); the +/-nh j-neighbor
+    # shifts are lane ROTATES of the window followed by an aligned static
+    # slice.  The zero halo is exactly the zero-shift convention of
+    # pallas_soa (boundary rows hit zero blocks anyway).  i-neighbors are
+    # within-chunk rolls (chunks are row-aligned, so rows never straddle a
+    # chunk edge).  Single-chunk path: no padding, whole-lattice rolls —
+    # identical to the fused kernel's neighbor access.
 
-    def _chunk_fields(self, state_ref, other, i, mask_chunk):
-        """(center, roll+, roll-, jL, jR, even-mask) for chunk i of ``other``."""
-        B, nh, Lc = self.B, self.nh, self.Lc
+    def _chunk_fields(self, state_ref, other, start, mask_chunk):
+        """(center, roll+, roll-, jL, jR, even-mask) for the chunk at
+        lane offset ``start`` (int32 tracer) of color ``other``."""
+        nh, Lc, ph = self.nh, self.Lc, self.ph
         me, mrs, mre = mask_chunk[0], mask_chunk[1], mask_chunk[2]
-        win = state_ref[other, :, pl.dslice(i * Lc, Lc + 2 * nh)]
-        o = win[:, nh:nh + Lc]
+        if self.n_chunks == 1:
+            o = state_ref[other]
+            jL = jnp.roll(o, nh, axis=1)
+            jR = jnp.roll(o, -nh, axis=1)
+        else:
+            win = state_ref[other, :, pl.dslice(start, Lc + 2 * ph)]
+            o = win[:, ph:ph + Lc]
+            jL = jnp.roll(win, nh, axis=1)[:, ph:ph + Lc]
+            jR = jnp.roll(win, -nh, axis=1)[:, ph:ph + Lc]
         roll_p = jnp.roll(o, 1, axis=1)
         roll_m = jnp.roll(o, -1, axis=1)
         if self.periodic:
             roll_p = (1.0 - mrs) * roll_p + mrs * jnp.roll(o, 1 - nh, axis=1)
             roll_m = (1.0 - mre) * roll_m + mre * jnp.roll(o, nh - 1, axis=1)
-        jL = win[:, :Lc]
-        jR = win[:, 2 * nh:2 * nh + Lc]
         return o, roll_p, roll_m, jL, jR, me
 
     def _fields_for_color(self, c_is0, o, roll_p, roll_m, jL, jR, me):
@@ -127,8 +150,9 @@ class StreamedLevel:
     # -- kernels --------------------------------------------------------------
 
     def _pad(self, s01):
-        nh = self.nh
-        return jnp.pad(s01, ((0, 0), (0, 0), (nh, nh)))
+        if self.ph == 0:
+            return s01
+        return jnp.pad(s01, ((0, 0), (0, 0), (self.ph, self.ph)))
 
     def half_sweeps(self, n_half):
         """Build fn(rhs01, u01) running n_half red-black half-sweeps.
@@ -140,44 +164,65 @@ class StreamedLevel:
         n_chunks = self.n_chunks
 
         def kernel(rhs_ref, u_ref, mask_ref, A_ref, state_ref):
+            # grid (n_pass, color, chunk): color as its own grid dim keeps
+            # every BlockSpec index_map a plain identity (a computed rem
+            # index lowered as an s64 scalar operand the X64-rewrite pass
+            # cannot handle)
             h = pl.program_id(0)
-            i = pl.program_id(1)
-            c = jax.lax.rem(h, jnp.int32(2))
+            c = pl.program_id(1)
+            i = pl.program_id(2)
+            # all lane-offset arithmetic in int32 (Mosaic rejects int64)
+            start = i * jnp.int32(Lc)
 
-            @pl.when((h == 0) & (i == 0))
+            @pl.when((h == 0) & (c == 0) & (i == 0))
             def _init():
                 state_ref[...] = u_ref[...]
 
-            mask_chunk = mask_ref[:, :, pl.dslice(i * Lc, Lc)]
-            fields = self._chunk_fields(state_ref, 1 - c, i, mask_chunk)
+            mask_chunk = mask_ref[:, :, pl.dslice(start, Lc)]
+            fields = self._chunk_fields(state_ref, jnp.int32(1) - c,
+                                        start, mask_chunk)
             iL, iR, jL, jR = self._fields_for_color(c == 0, *fields)
             off = (_mac(A_ref[0, 1], iL) + _mac(A_ref[0, 2], iR)
                    + _mac(A_ref[0, 3], jL) + _mac(A_ref[0, 4], jR))
-            rhs_c = rhs_ref[c, :, pl.dslice(i * Lc, Lc)]
+            rhs_c = rhs_ref[c, :, pl.dslice(start, Lc)]
             unew = _mac(A_ref[0, 5], rhs_c - off)
-            state_ref[c, :, pl.dslice(nh + i * Lc, Lc)] = unew
+            if self.n_chunks == 1:
+                state_ref[c] = unew
+            else:
+                state_ref[c, :, pl.dslice(jnp.int32(self.ph) + start, Lc)] = unew
 
+        assert n_half % 2 == 0, "half-sweeps come in red/black pairs"
         vfull = pl.BlockSpec(memory_space=pltpu.VMEM)
         call = pl.pallas_call(
             kernel,
-            grid=(n_half, n_chunks),
+            grid=(n_half // 2, 2, n_chunks),
             in_specs=[
                 vfull,                                     # rhs (2, B, C)
                 vfull,                                     # u0 padded
                 vfull,                                     # masks (3, 1, C)
                 pl.BlockSpec((1, 6, B, B, Lc),
-                             lambda h, i: (jax.lax.rem(h, jnp.int32(2)), 0, 0, 0, i)),
+                             lambda h, c, i: (c, 0, 0, 0, i)),
             ],
-            out_specs=pl.BlockSpec((2, B, C + 2 * nh), lambda h, i: (0, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((2, B, C + 2 * nh), self.dtype),
+            out_specs=pl.BlockSpec((2, B, C + 2 * self.ph),
+                                   lambda h, c, i: (0, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((2, B, C + 2 * self.ph),
+                                           self.dtype),
             interpret=self.interpret,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
         )
 
         def fn(rhs01, u01):
-            out = call(rhs01, self._pad(u01), self.masks, self.A_all)
-            return out[:, :, nh:nh + C]
+            # trace the gridded pallas_call with x64 disabled on the f32
+            # hardware path: under jax_enable_x64 the TPU lowering injects
+            # an s64 scalar operand that XLA's X64-rewriting pass cannot
+            # handle.  The f64 interpret/test path keeps x64 on.
+            if self.dtype == jnp.float32:
+                with jax.enable_x64(False):
+                    out = call(rhs01, self._pad(u01), self.masks, self.A_all)
+            else:
+                out = call(rhs01, self._pad(u01), self.masks, self.A_all)
+            return out[:, :, self.ph:self.ph + C]
 
         return fn
 
@@ -189,14 +234,19 @@ class StreamedLevel:
         def kernel(rhs_ref, u_ref, mask_ref, A_ref, out_ref):
             c = pl.program_id(0)
             i = pl.program_id(1)
-            mask_chunk = mask_ref[:, :, pl.dslice(i * Lc, Lc)]
-            fields = self._chunk_fields(u_ref, 1 - c, i, mask_chunk)
+            start = i * jnp.int32(Lc)
+            mask_chunk = mask_ref[:, :, pl.dslice(start, Lc)]
+            fields = self._chunk_fields(u_ref, jnp.int32(1) - c,
+                                        start, mask_chunk)
             iL, iR, jL, jR = self._fields_for_color(c == 0, *fields)
-            u_c = u_ref[c, :, pl.dslice(nh + i * Lc, Lc)]
+            if self.n_chunks == 1:
+                u_c = u_ref[c]
+            else:
+                u_c = u_ref[c, :, pl.dslice(jnp.int32(self.ph) + start, Lc)]
             au = (_mac(A_ref[0, 0], u_c)
                   + _mac(A_ref[0, 1], iL) + _mac(A_ref[0, 2], iR)
                   + _mac(A_ref[0, 3], jL) + _mac(A_ref[0, 4], jR))
-            out_ref[...] = (rhs_ref[c, :, pl.dslice(i * Lc, Lc)] - au)[None]
+            out_ref[...] = (rhs_ref[c, :, pl.dslice(start, Lc)] - au)[None]
 
         vfull = pl.BlockSpec(memory_space=pltpu.VMEM)
         call = pl.pallas_call(
@@ -215,6 +265,10 @@ class StreamedLevel:
         )
 
         def fn(rhs01, u01):
+            if self.dtype == jnp.float32:
+                with jax.enable_x64(False):
+                    return call(rhs01, self._pad(u01), self.masks,
+                                self.A_all)
             return call(rhs01, self._pad(u01), self.masks, self.A_all)
 
         return fn

@@ -36,7 +36,7 @@ def test_streamed_level_matches_soa_smoother(flagship):
     B = lvl.op.blocks.shape[-1]
     # force multiple chunks (nh=4, chunk_lanes=8 -> 4 chunks of 8 lanes)
     st = StreamedLevel(lvl.op, nj, ni, dtype=jnp.float64, interpret=True,
-                       chunk_lanes=8)
+                       chunk_lanes=8, align=4)
     assert st.n_chunks > 1
     r01s = _vec_to_soa2(rhs, nj, ni, B)
     u01s = _vec_to_soa2(jnp.ones_like(rhs), nj, ni, B)
@@ -110,7 +110,7 @@ def test_streamed_level_ogrid_periodic():
     k = len(dims) - 1
     lvl = dg.levels[-1]
     st = StreamedLevel(lvl.op, dims[k][0], dims[k][1], dtype=jnp.float64,
-                       interpret=True, chunk_lanes=4)
+                       interpret=True, chunk_lanes=4, align=2)
     assert st.periodic and st.n_chunks > 1
     rhs = lvl.rhs
     B = lvl.op.blocks.shape[-1]
