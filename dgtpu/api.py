@@ -314,31 +314,32 @@ class DGFEM:
                                        "n_shards", 1) or 1)
                 precision = str(getattr(getattr(s, "performance", None),
                                         "precision", "full"))
-                if precision == "mixed" and n_shards <= 1:
-                    try:
-                        u_modal, res, n = self._solve_multigrid_mixed(finest)
-                        u_modal = synchronize(u_modal)
-                    except NotImplementedError as e:
-                        self.logger.warning(str(e))
-                        precision = "full"
                 if n_shards > 1:
-                    u_modal, res, n = self._solve_multigrid_sharded(n_shards)
+                    u_modal, res, n = self._solve_multigrid_sharded(
+                        n_shards, precision=precision)
                     u_modal = synchronize(u_modal)
                     self.residuals = self.mg.history
-                elif precision == "mixed":
-                    pass  # solved above
                 else:
-                    from dgtpu.solvers.multigrid import MultigridSolver
-                    colors = [element_colors(l.Ni, l.Nj) for l in self.levels]
-                    self.mg = MultigridSolver([l.op for l in self.levels],
-                                              self.transfers,
-                                              self.transfer_types,
-                                              s, colors=colors,
-                                              levels=self.levels)
-                    u_modal, res, n, hist = self.mg.solve(finest.rhs)
-                    u_modal = synchronize(u_modal)
-                    self.residuals = [float(r) for r in np.asarray(hist)
-                                      if np.isfinite(r)]
+                    if precision == "mixed":
+                        try:
+                            u_modal, res, n = \
+                                self._solve_multigrid_mixed(finest)
+                            u_modal = synchronize(u_modal)
+                        except NotImplementedError as e:
+                            self.logger.warning(str(e))
+                            precision = "full"
+                    if precision != "mixed":
+                        from dgtpu.solvers.multigrid import MultigridSolver
+                        colors = [element_colors(l.Ni, l.Nj)
+                                  for l in self.levels]
+                        self.mg = MultigridSolver(
+                            [l.op for l in self.levels], self.transfers,
+                            self.transfer_types, s, colors=colors,
+                            levels=self.levels)
+                        u_modal, res, n, hist = self.mg.solve(finest.rhs)
+                        u_modal = synchronize(u_modal)
+                        self.residuals = [float(r) for r in np.asarray(hist)
+                                          if np.isfinite(r)]
                 self.logger.info(f"multigrid: {int(n)} V-cycles, final normalized "
                                  f"residual {float(res):.6e}")
                 self._save_residual_history("multigrid")
@@ -388,26 +389,36 @@ class DGFEM:
         on_tpu = jax.default_backend() == "tpu"
         dims = [(l.Nj, l.Ni) for l in self.levels]
         stokes = self.levels[-1].block_A is not None
-        # the fused builders' transfer/coarse lane tensors scale O(N^2);
-        # past VMEM residency the streamed hybrid (TPU) or the rolled XLA
-        # cycle (CPU) takes over
+        # past fused-kernel VMEM residency the streamed hybrid (TPU) or the
+        # rolled XLA cycle (CPU) takes over; the footprint estimate is the
+        # fused builders' own (pallas_soa/pallas_stokes), so this routing
+        # can never drift from what the kernels actually allocate
         budget = 96 * 1024 * 1024
-        fused_bytes = 0.0
-        for lvl in self.levels:
-            op = lvl.op if not stokes else lvl.block_A
-            n, _, br, bc = op.blocks.shape
-            fused_bytes += 2.0 * 7 * n * br * bc * 4
+        if stokes:
+            from dgtpu.ops.pallas_stokes import SoAStokesVCycle as _SV
+            fused_bytes = _SV.estimated_vmem_bytes(
+                self.levels, self.transfers, self.transfer_types)
+        else:
+            from dgtpu.ops.pallas_soa import SoAVCycle as _SV
+            fused_bytes = _SV.estimated_vmem_bytes(
+                [l.op for l in self.levels], dims, self.transfers,
+                self.transfer_types)
         big = fused_bytes > budget
-        if stokes and big:
-            # no streamed Stokes kernel yet — this is a graceful signal to
-            # solve() to run the full-precision generic path instead
-            raise NotImplementedError(
-                "mixed precision: the Stokes hierarchy exceeds the fused-"
-                "kernel VMEM budget; running full precision")
         cyc = None
         with setup_scope():
             try:
-                if stokes:
+                if stokes and big and on_tpu:
+                    from dgtpu.ops.pallas_stokes_stream import \
+                        StreamedStokesVCycle
+                    shv = StreamedStokesVCycle(self.levels, self.transfers,
+                                               self.transfer_types, s,
+                                               dtype=jnp.float32)
+                    cyc = shv.build()
+                    kind = "streamed Stokes hybrid"
+                elif stokes and big:
+                    raise ValueError("the Stokes hierarchy exceeds the "
+                                     "fused-kernel VMEM budget (CPU backend)")
+                elif stokes:
                     from dgtpu.ops.pallas_stokes import SoAStokesVCycle
                     sv = SoAStokesVCycle(self.levels, self.transfers,
                                          self.transfer_types, s,
@@ -432,6 +443,14 @@ class DGFEM:
                     cyc = sv.build() if on_tpu else sv.build_xla()
                     kind = "SoA fused" if on_tpu else "SoA (XLA)"
             except (ValueError, NotImplementedError) as e:
+                if stokes:
+                    # the rolled fallback smooths with block-GS on the saddle
+                    # operator — a different smoother than the configured
+                    # distributive GS, which can stall the refinement; signal
+                    # solve() to run the full-precision generic path instead
+                    raise NotImplementedError(
+                        "mixed precision: the fused Stokes cycle is "
+                        f"unavailable ({e}); running full precision")
                 self.logger.info(f"SoA fused cycle unavailable ({e}); "
                                  "falling back to the rolled XLA cycle")
                 from dgtpu.ops.pallas_vcycle import PallasVCycle
@@ -454,14 +473,16 @@ class DGFEM:
                 f"(tolerance {tol:g})")
         return u, res, n
 
-    def _solve_multigrid_sharded(self, n_shards):
+    def _solve_multigrid_sharded(self, n_shards, precision="full"):
         """Multigrid over an n_shards device mesh (element-row decomposition).
 
         New capability with no reference equivalent (SURVEY §2: the reference
         is strictly single-process).  Poisson uses red-black smoothing with
         ppermute halo exchange; Stokes uses the distributive-GS smoother in
         stencil/halo form.  Transfers must be p-/penalty- (element-local) or
-        geometric (shard-local agglomeration).
+        geometric (shard-local agglomeration).  ``precision='mixed'`` runs
+        sharded f32 inner cycles inside an f64 halo defect-correction loop
+        (``solve_refined``) to the 1e-10 parity target.
         """
         import jax as _jax
         from dgtpu.parallel.halo import make_mesh
@@ -493,13 +514,21 @@ class DGFEM:
                             f"{side.smoother!r}")
             from dgtpu.parallel.stokes_halo import ShardedStokesMultigrid
             self.mg = ShardedStokesMultigrid(self.levels, self.settings,
-                                             mesh=mesh)
+                                             mesh=mesh,
+                                             transfers=self.transfers,
+                                             transfer_types=self.transfer_types)
         else:
             from dgtpu.parallel.halo import ShardedMultigrid
             self.mg = ShardedMultigrid(self.levels, self.transfers,
                                        self.settings, mesh=mesh)
         self.logger.info(f"sharded multigrid over {n_shards} devices "
                          f"({mesh.devices.ravel()[0].platform})")
+        if precision == "mixed":
+            tol = float(self.settings.solver.multigrid.tolerance)
+            self.logger.info("sharded mixed-precision refinement "
+                             "(f32 inner cycles, f64 halo defect loop)")
+            return self.mg.solve_refined(finest.rhs,
+                                         tol=min(tol, 1e-10))
         return self.mg.solve(finest.rhs)
 
     def _solve_smoother(self, finest):

@@ -76,6 +76,14 @@ def _lane_tensor_apply(T, f):
     return acc
 
 
+def _pad8(x):
+    return -(-int(x) // 8) * 8
+
+
+def _pad128(x):
+    return -(-int(x) // 128) * 128
+
+
 class SoAVCycle(PallasVCycle):
     """Fused V-cycle in the cells-in-lanes layout.
 
@@ -83,6 +91,82 @@ class SoAVCycle(PallasVCycle):
     every level (the color-split condition).  f32 only on hardware (the
     interpret path runs in any dtype).
     """
+
+    # Mosaic pads the last two dims of every VMEM operand to (8, 128)
+    # tiles; with cells in lanes that is (sublane mode dim -> 8k,
+    # lane cell dim -> 128k).  These estimators are THE source of truth
+    # for "does this hierarchy fit the fused kernel" — api.py's mixed-
+    # precision routing and StreamedVCycle's fused-subtree cut both call
+    # them, so the routing heuristic can never drift from what the
+    # builder actually allocates.
+
+    @classmethod
+    def level_vmem_bytes(cls, op, dims_k, dtype=jnp.float32):
+        """Padded VMEM footprint of one level's operands (both colors)."""
+        nj, ni = dims_k
+        n, s, br, bc = op.blocks.shape
+        item = jnp.dtype(dtype).itemsize
+        C = _pad128(nj * max(ni // 2, 1))
+        blocks = 2 * 5 * bc * _pad8(br) * C * item      # soa_blocks
+        dinv = 2 * bc * _pad8(br) * C * item            # soa_Dinv
+        masks = 3 * _pad8(1) * C * item                 # soa_masks
+        return blocks + dinv + masks
+
+    @classmethod
+    def transfer_vmem_bytes(cls, kind, B_f, B_c, dims_c, dtype=jnp.float32):
+        """Padded footprint of one transfer's R+P tensors."""
+        item = jnp.dtype(dtype).itemsize
+        if kind == "penalty":
+            return 0
+        if kind == "polynomial":
+            return 2 * _pad8(B_c) * _pad128(B_f) * item
+        njc, nic = dims_c
+        Cc = njc * max(nic // 2, 1)
+        Cf = 4 * Cc
+        # R (2,2,B_f,B_c,Cc,Cf) + P (2,2,B_c,B_f,Cf,Cc)
+        return (4 * B_f * B_c * (_pad8(Cc) * _pad128(Cf)
+                                 + _pad8(Cf) * _pad128(Cc))) * item
+
+    @classmethod
+    def coarse_vmem_bytes(cls, B0, dims_0, dtype=jnp.float32):
+        nj0, ni0 = dims_0
+        C0 = nj0 * max(ni0 // 2, 1)
+        return 4 * B0 * B0 * _pad8(C0) * _pad128(C0) * jnp.dtype(dtype).itemsize
+
+    @classmethod
+    def estimated_vmem_bytes(cls, ops, dims, transfers=(), types=(),
+                             dtype=jnp.float32, with_coarse=True):
+        """Padded VMEM footprint of the whole fused hierarchy.
+
+        Computed from the same shapes the constructor builds, plus a 1.25x
+        headroom factor for the state lattices and in-kernel temporaries.
+        """
+        total = 0
+        for op, d in zip(ops, dims):
+            total += cls.level_vmem_bytes(op, d, dtype)
+        for k, t in enumerate(transfers):
+            B_f = ops[k + 1].blocks.shape[-1]
+            B_c = ops[k].blocks.shape[-1]
+            total += cls.transfer_vmem_bytes(t.kind, B_f, B_c, dims[k], dtype)
+        if with_coarse and ops:
+            total += cls.coarse_vmem_bytes(ops[0].blocks.shape[-1], dims[0],
+                                           dtype)
+        return int(total * 1.25)
+
+    @property
+    def operand_bytes(self):
+        """Actual (unpadded) bytes of the built operand arrays."""
+        total = 0
+        for group in (self.soa_blocks, self.soa_Dinv):
+            for t in group:
+                total += sum(x.nbytes for x in t)
+        total += sum(m.nbytes for m in self.soa_masks)
+        for t in list(self.soa_R) + list(self.soa_P):
+            if t is not None:
+                total += t.nbytes
+        if self.soa_coarse is not None:
+            total += self.soa_coarse.nbytes
+        return total
 
     def __init__(self, ops, transfers, types, settings, dims,
                  dtype=jnp.float32, interpret=False):

@@ -175,6 +175,70 @@ class SoAStokesVCycle:
         else:
             self.coarse = None
 
+    # -- VMEM budget (single source of truth with the builder) ----------------
+
+    @classmethod
+    def estimated_vmem_bytes(cls, levels, transfers=(), types=(),
+                             dtype=jnp.float32, with_coarse=True):
+        """Padded VMEM footprint of the fused Stokes hierarchy.
+
+        Same role as ``SoAVCycle.estimated_vmem_bytes``: computed from the
+        exact shapes the constructor builds (A/G/D per color, A_Dinv,
+        DG_diag/Dinv, masks, transfer tensors, dense coarse inverse) with
+        Mosaic's (8, 128) tile padding and a 1.25x temporaries headroom.
+        """
+        from dgtpu.ops.pallas_soa import _pad8, _pad128
+        item = jnp.dtype(dtype).itemsize
+        total = 0
+        for lvl in levels:
+            nu2 = 2 * lvl.N_DOF_sol["u"]
+            npd = lvl.N_DOF_sol["p"]
+            C = _pad128(lvl.Nj * max(lvl.Ni // 2, 1))
+            per_color = 0
+            for br, bc in ((nu2, nu2), (nu2, npd), (npd, nu2)):  # A, G, D
+                per_color += 5 * bc * _pad8(br)
+            per_color += nu2 * _pad8(nu2)           # A_Dinv
+            per_color += 2 * npd * _pad8(npd)       # DG_diag + DG_Dinv
+            total += (2 * per_color + 3 * _pad8(1)) * C * item
+        for k, t in enumerate(transfers):
+            kind = getattr(t, "kind", "penalty")
+            if kind == "penalty":
+                continue
+            lo = levels[k]
+            nu2_c, npd_c = 2 * lo.N_DOF_sol["u"], lo.N_DOF_sol["p"]
+            hi = levels[k + 1]
+            nu2_f, npd_f = 2 * hi.N_DOF_sol["u"], hi.N_DOF_sol["p"]
+            if kind == "polynomial":
+                total += 2 * (_pad8(nu2_c) * _pad128(nu2_f)
+                              + _pad8(npd_c) * _pad128(npd_f)) * item
+            else:                                   # geometric, cf=2
+                Cc = lo.Nj * max(lo.Ni // 2, 1)
+                Cf = 4 * Cc
+                pads = _pad8(Cc) * _pad128(Cf) + _pad8(Cf) * _pad128(Cc)
+                total += 4 * (nu2_c * nu2_f + npd_c * npd_f) * pads * item
+        if with_coarse and levels:
+            l0 = levels[0]
+            B0 = 2 * l0.N_DOF_sol["u"] + l0.N_DOF_sol["p"]
+            C0 = l0.Nj * max(l0.Ni // 2, 1)
+            total += 4 * B0 * B0 * _pad8(C0) * _pad128(C0) * item
+        return int(total * 1.25)
+
+    @property
+    def operand_bytes(self):
+        """Actual (unpadded) bytes of the built operand arrays."""
+        total = 0
+        for group in (self.A, self.G, self.D, self.A_Dinv,
+                      self.DG_diag, self.DG_Dinv):
+            for t in group:
+                total += sum(x.nbytes for x in t)
+        total += sum(m.nbytes for m in self.masks)
+        for t in list(self.soa_R) + list(self.soa_P):
+            if t is not None:
+                total += sum(x.nbytes for x in t)
+        if self.coarse is not None:
+            total += self.coarse.nbytes
+        return total
+
     # -- host-side tensor construction ---------------------------------------
 
     def _geo_tensors(self, k, t, restrict):

@@ -53,15 +53,17 @@ def _pick_chunk(C, nh, target_lanes=512, align=128):
 
 
 class StreamedLevel:
-    """Streamed smoother + residual for one level in the SoA layout.
+    """Streamed smoother/matvec/residual for one stencil in the SoA layout.
 
-    Host-side state: ``A_all`` (2, 6, B, B, C) per-color stencil slots
-    0..4 plus the diagonal inverse in slot 5 — ONE streamed operand so a
-    half-sweep reads each byte exactly once.
+    Host-side state: ``A_all`` (2, S, B_src, B_dst, C) per-color stencil
+    slots 0..4, plus the diagonal inverse in slot 5 when the blocks are
+    square (S=6) — ONE streamed operand so a half-sweep reads each byte
+    exactly once.  Rectangular stencils (the Stokes G/D components) carry
+    no diagonal inverse and only support ``matvec``.
     """
 
     def __init__(self, op, nj, ni, dtype=jnp.float32, interpret=False,
-                 chunk_lanes=512, align=128):
+                 chunk_lanes=512, align=128, with_dinv=None):
         from dgtpu.ops.linalg import host_inv
         if ni % 2:
             raise ValueError("StreamedLevel needs an even Ni")
@@ -71,17 +73,30 @@ class StreamedLevel:
         self.dtype = dtype
         self.interpret = interpret
         rb = rolled.to_rolled(op, ni, nj)
-        self.B = B = rb.shape[-1]
-        dinv = host_inv(rb[:, :, 0])
-        pair_b, pair_d = rolled.pack_operator_colors(
-            np.asarray(rb), np.asarray(dinv))
-        A_all = np.zeros((2, 6, B, B, C), np.float64)
+        br, bc = rb.shape[-2], rb.shape[-1]     # block (rows=dst, cols=src)
+        self.B_dst, self.B_src = br, bc
+        self.B = bc                             # legacy name (square case)
+        if with_dinv is None:
+            with_dinv = br == bc
+        if with_dinv and br != bc:
+            raise ValueError("a diagonal inverse needs square blocks")
+        self.with_dinv = with_dinv
+        S = 6 if with_dinv else 5
+        if with_dinv:
+            dinv = host_inv(rb[:, :, 0])
+            pair_b, pair_d = rolled.pack_operator_colors(
+                np.asarray(rb), np.asarray(dinv))
+        else:
+            pair_b, pair_d = rolled.pack_operator_colors(np.asarray(rb))
+        A_all = np.zeros((2, S, bc, br, C), np.float64)
         for c in range(2):
             x = np.asarray(pair_b[c])                      # (nj, nh, 5, a, b)
             A_all[c, :5] = (np.transpose(x, (2, 4, 3, 0, 1))
-                            .reshape(5, B, B, C))
-            d = np.asarray(pair_d[c])                      # (nj, nh, a, b)
-            A_all[c, 5] = (np.transpose(d, (3, 2, 0, 1)).reshape(B, B, C))
+                            .reshape(5, bc, br, C))
+            if with_dinv:
+                d = np.asarray(pair_d[c])                  # (nj, nh, a, b)
+                A_all[c, 5] = (np.transpose(d, (3, 2, 0, 1))
+                               .reshape(br, br, C))
         self.A_all = jnp.asarray(A_all.astype(np.dtype(dtype)))
         lanes_j = np.repeat(np.arange(nj), nh)
         lanes_ip = np.tile(np.arange(nh), nj)
@@ -160,6 +175,7 @@ class StreamedLevel:
         rhs01/u01: (2, B, C) stacked color lattices.  One pallas_call;
         grid (n_half, n_chunks); blocks streamed once per half-sweep.
         """
+        assert self.with_dinv, "half_sweeps needs the diagonal inverse slot"
         B, C, Lc, nh = self.B, self.C, self.Lc, self.nh
         n_chunks = self.n_chunks
 
@@ -228,8 +244,10 @@ class StreamedLevel:
 
     def residual(self):
         """Build fn(rhs01, u01) -> r01, streaming both colors' blocks once."""
-        B, C, Lc, nh = self.B, self.C, self.Lc, self.nh
+        Bs, Bd = self.B_src, self.B_dst
+        C, Lc, nh = self.C, self.Lc, self.nh
         n_chunks = self.n_chunks
+        S = self.A_all.shape[1]
 
         def kernel(rhs_ref, u_ref, mask_ref, A_ref, out_ref):
             c = pl.program_id(0)
@@ -254,11 +272,11 @@ class StreamedLevel:
             grid=(2, n_chunks),
             in_specs=[
                 vfull, vfull, vfull,
-                pl.BlockSpec((1, 6, B, B, Lc),
+                pl.BlockSpec((1, S, Bs, Bd, Lc),
                              lambda c, i: (c, 0, 0, 0, i)),
             ],
-            out_specs=pl.BlockSpec((1, B, Lc), lambda c, i: (c, 0, i)),
-            out_shape=jax.ShapeDtypeStruct((2, B, C), self.dtype),
+            out_specs=pl.BlockSpec((1, Bd, Lc), lambda c, i: (c, 0, i)),
+            out_shape=jax.ShapeDtypeStruct((2, Bd, C), self.dtype),
             interpret=self.interpret,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
@@ -270,6 +288,59 @@ class StreamedLevel:
                     return call(rhs01, self._pad(u01), self.masks,
                                 self.A_all)
             return call(rhs01, self._pad(u01), self.masks, self.A_all)
+
+        return fn
+
+    def matvec(self):
+        """Build fn(x01) -> A @ x01, streaming both colors' blocks once.
+
+        x01: (2, B_src, C) stacked color lattices; result (2, B_dst, C).
+        The general streamed stencil application — rectangular blocks
+        (the Stokes G/D components) stream through the same grid.
+        """
+        Bs, Bd = self.B_src, self.B_dst
+        C, Lc, nh = self.C, self.Lc, self.nh
+        n_chunks = self.n_chunks
+        S = self.A_all.shape[1]
+
+        def kernel(x_ref, mask_ref, A_ref, out_ref):
+            c = pl.program_id(0)
+            i = pl.program_id(1)
+            start = i * jnp.int32(Lc)
+            mask_chunk = mask_ref[:, :, pl.dslice(start, Lc)]
+            fields = self._chunk_fields(x_ref, jnp.int32(1) - c,
+                                        start, mask_chunk)
+            iL, iR, jL, jR = self._fields_for_color(c == 0, *fields)
+            if self.n_chunks == 1:
+                x_c = x_ref[c]
+            else:
+                x_c = x_ref[c, :, pl.dslice(jnp.int32(self.ph) + start, Lc)]
+            au = (_mac(A_ref[0, 0], x_c)
+                  + _mac(A_ref[0, 1], iL) + _mac(A_ref[0, 2], iR)
+                  + _mac(A_ref[0, 3], jL) + _mac(A_ref[0, 4], jR))
+            out_ref[...] = au[None]
+
+        vfull = pl.BlockSpec(memory_space=pltpu.VMEM)
+        call = pl.pallas_call(
+            kernel,
+            grid=(2, n_chunks),
+            in_specs=[
+                vfull, vfull,
+                pl.BlockSpec((1, S, Bs, Bd, Lc),
+                             lambda c, i: (c, 0, 0, 0, i)),
+            ],
+            out_specs=pl.BlockSpec((1, Bd, Lc), lambda c, i: (c, 0, i)),
+            out_shape=jax.ShapeDtypeStruct((2, Bd, C), self.dtype),
+            interpret=self.interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )
+
+        def fn(x01):
+            if self.dtype == jnp.float32:
+                with jax.enable_x64(False):
+                    return call(self._pad(x01), self.masks, self.A_all)
+            return call(self._pad(x01), self.masks, self.A_all)
 
         return fn
 
@@ -310,21 +381,20 @@ class StreamedVCycle:
         self.n_lev = len(ops)
         self.cycle_type = str(getattr(settings.solver.multigrid,
                                       "cycle_type", "V")).upper()
-        # fused-subtree cut: include levels while (a) the padded SoA
-        # footprint fits the budget (blocks ~2x logical for padding
-        # headroom) and (b) the level stays small enough that the fused
-        # path's dense per-color-pair transfer/coarse lane tensors remain
-        # tractable — those scale O(cells^2), so cap cells at 32x32
-        size = 0.0
+        # fused-subtree cut: the deepest prefix of levels whose padded SoA
+        # footprint — blocks, Dinv, masks, the O(cells^2) geometric
+        # transfer tensors and the dense coarse inverse — fits the budget.
+        # The estimate is SoAVCycle's own (the single source of truth with
+        # the builder), so the cut can never admit a subtree the fused
+        # kernel could not actually hold.
         cut = 0
-        for k, op in enumerate(ops):
-            n, _, br, bc = op.blocks.shape
-            lvl_bytes = 2.0 * (7 * n * br * bc) * jnp.dtype(dtype).itemsize
-            if (size + lvl_bytes > vmem_budget or n > 1024
-                    or k == self.n_lev - 1):
+        for k in range(1, self.n_lev):      # always stream the finest level
+            est = SoAVCycle.estimated_vmem_bytes(
+                ops[:k], dims[:k], transfers[:k - 1], types[:k - 1],
+                dtype=dtype)
+            if est > vmem_budget:
                 break
-            size += lvl_bytes
-            cut = k + 1
+            cut = k
         if cut < 1:
             raise ValueError("even the coarsest level exceeds the VMEM budget")
         self.cut = cut
@@ -412,7 +482,12 @@ class StreamedVCycle:
         r_roll = _soa2_to_vec(res01, nj, ni, B).reshape(nj, ni, B)
         r_c = self._restrict(k - 1, r_roll)
         e_c = self._cycle(k - 1, r_c, jnp.zeros_like(r_c))
-        if self.cycle_type == "W" and k - 1 >= self.cut:
+        if self.cycle_type == "W" and k - 1 > 0:
+            # revisit the coarse level; at the fused-subtree boundary
+            # (k - 1 < cut) this re-invokes the whole fused sub-cycle with
+            # the first visit's result as the initial guess, so the hybrid
+            # W-cycle visits every level twice like SoAVCycle/MultigridSolver
+            # (the coarsest level itself is never revisited, matching both)
             e_c = self._cycle(k - 1, r_c, e_c)
         corr = self._prolong(k - 1, e_c)
         u01 = u01 + _vec_to_soa2(corr.reshape(-1), nj, ni, B)

@@ -326,6 +326,8 @@ class ShardedMultigrid:
             self.colors.append(((i + j) % 2).astype(jnp.int32))
         self.tol = settings.solver.multigrid.tolerance
         self.max_cycles = int(settings.solver.multigrid.max_cycles)
+        self.cycle_type = str(getattr(settings.solver.multigrid,
+                                      "cycle_type", "V")).upper()
         self._built = None
 
     def _restrict(self, k, R, r):
@@ -385,6 +387,8 @@ class ShardedMultigrid:
         r = rhs - _matvec_with_halo(blocks[k], u)
         r_c = self._restrict(k, Rs[k - 1], r)
         e_c = self._v_cycle(k - 1, data, r_c, jnp.zeros_like(r_c))
+        if self.cycle_type == "W" and k - 1 > 0:
+            e_c = self._v_cycle(k - 1, data, r_c, e_c)
         u = u + self._prolong(k, Ps[k - 1], e_c)
         u = self._smooth(k, data, rhs, u, post)
         return u

@@ -160,67 +160,121 @@ def _pnorm_pair(r_mom, r_cont):
     return jnp.sqrt(s / n)
 
 
+def _blockdiag2(M):
+    M = np.asarray(M)
+    a, b = M.shape
+    out = np.zeros((2 * a, 2 * b), M.dtype)
+    out[:a, :b] = M
+    out[a:, b:] = M
+    return out
+
+
 class ShardedStokesMultigrid:
     """Sharded Stokes V-cycle with distributive-GS smoothing.
 
     Levels are coarsest-first, each assembled in global ordering
     (``assemble_stokes`` with ``solution.ordering == 'global'``).  Transfer
-    kinds are inferred from the level polynomial degrees: equal degrees =>
-    penalty (identity), otherwise component-wise modal truncation
-    (element-local, communication-free).
+    kinds come from ``transfers``/``transfer_types`` when given (supporting
+    geometric (h) coarsening as shard-local 2x2 agglomeration per
+    component, like the Poisson path — each device owns whole coarse
+    element rows so the transfer needs no communication); otherwise they
+    are inferred from the level polynomial degrees: equal degrees =>
+    penalty (identity), otherwise component-wise modal truncation.
     """
 
     def __init__(self, levels, settings, mesh=None, pre_iters=None,
-                 post_iters=None, smoother_passes=2):
+                 post_iters=None, smoother_passes=2, transfers=None,
+                 transfer_types=None):
         self.mesh = mesh if mesh is not None else make_mesh()
         n_dev = self.mesh.devices.size
         self.levels = levels
         self.Ni, self.Nj = levels[-1].Ni, levels[-1].Nj
-        if self.Nj % n_dev:
-            from dgtpu.parallel.halo import shardable_device_counts
-            raise ValueError(
-                f"Nj={self.Nj} element rows does not divide over {n_dev} "
-                f"devices; usable device counts for this grid are "
-                f"{shardable_device_counts(levels)}")
         for l in levels:
-            if (l.Ni, l.Nj) != (self.Ni, self.Nj):
-                raise NotImplementedError(
-                    "sharded Stokes supports p-/penalty-coarsening "
-                    "(element counts equal across levels)")
+            if l.Nj % n_dev:
+                from dgtpu.parallel.halo import shardable_device_counts
+                raise ValueError(
+                    f"level with Nj={l.Nj} element rows does not divide over "
+                    f"{n_dev} devices; usable device counts for this "
+                    f"hierarchy are {shardable_device_counts(levels)}")
+        if transfers is None:
+            for l in levels:
+                if (l.Ni, l.Nj) != (self.Ni, self.Nj):
+                    raise ValueError(
+                        "levels with unequal element counts need explicit "
+                        "geometric transfers (pass transfers=)")
         self.data = [_LevelData(l) for l in levels]
+        # transfer kinds + component matrices per inter-level transfer
+        kinds = []
+        self.Ruv, self.Puv, self.Rp, self.Pp = [], [], [], []
+        self.cfs = []
+        if transfers is not None:
+            from dgtpu.models.stokes import (StokesGeometricTransfer,
+                                             StokesPolynomialTransfer)
+            for k, t in enumerate(transfers):
+                kind = (transfer_types[k] if transfer_types is not None
+                        else getattr(t, "kind", "penalty"))
+                kind = {"penalty_parameter": "penalty"}.get(kind, kind)
+                kinds.append(kind)
+                if isinstance(t, StokesGeometricTransfer):
+                    # per-child scalar transfer matrices -> component-wise
+                    # agglomeration operators (uv 2x2-blockdiag per child)
+                    R4u = np.asarray(t.tu.R)
+                    Bu = R4u.shape[1] // 4
+                    Ruv = np.hstack([_blockdiag2(R4u[:, c * Bu:(c + 1) * Bu])
+                                     for c in range(4)])
+                    P4u = np.asarray(t.tu.P)
+                    Puv = np.vstack([_blockdiag2(P4u[c * Bu:(c + 1) * Bu, :])
+                                     for c in range(4)])
+                    self.Ruv.append(jnp.asarray(Ruv))
+                    self.Puv.append(jnp.asarray(Puv))
+                    self.Rp.append(jnp.asarray(np.asarray(t.tp.R)))
+                    self.Pp.append(jnp.asarray(np.asarray(t.tp.P)))
+                    self.cfs.append(2)
+                elif isinstance(t, StokesPolynomialTransfer):
+                    Ru2 = _blockdiag2(np.asarray(t.Ru))
+                    self.Ruv.append(jnp.asarray(Ru2))
+                    self.Puv.append(jnp.asarray(Ru2.T))
+                    self.Rp.append(jnp.asarray(np.asarray(t.Rp)))
+                    self.Pp.append(jnp.asarray(np.asarray(t.Rp).T))
+                    self.cfs.append(1)
+                else:                      # penalty / identity transfer
+                    hi = levels[k + 1]
+                    nu_f = hi.N_DOF_sol["u"]
+                    np_f = hi.N_DOF_sol["p"]
+                    self.Ruv.append(jnp.eye(2 * nu_f))
+                    self.Puv.append(jnp.eye(2 * nu_f))
+                    self.Rp.append(jnp.eye(np_f))
+                    self.Pp.append(jnp.eye(np_f))
+                    self.cfs.append(1)
+        else:
+            for lo, hi in zip(levels[:-1], levels[1:]):
+                pu_c, pu_f = lo.P_sol["u"], hi.P_sol["u"]
+                pp_c, pp_f = lo.P_sol["p"], hi.P_sol["p"]
+                if (pu_c, pp_c) == (pu_f, pp_f):
+                    nu_f, np_f = (pu_f + 1) ** 2, (pp_f + 1) ** 2
+                    Ru2 = np.eye(2 * nu_f)
+                    Rp = np.eye(np_f)
+                    kinds.append("penalty")
+                else:
+                    Ru = p_restriction(pu_f, pu_c)
+                    Ru2 = np.block([[Ru, np.zeros_like(Ru)],
+                                    [np.zeros_like(Ru), Ru]])
+                    Rp = p_restriction(pp_f, pp_c)
+                    kinds.append("polynomial")
+                self.Ruv.append(jnp.asarray(Ru2))
+                self.Puv.append(jnp.asarray(Ru2.T))
+                self.Rp.append(jnp.asarray(Rp))
+                self.Pp.append(jnp.asarray(Rp.T))
+                self.cfs.append(1)
         # pre/post sweep counts per level from the paramfile (the smoother
         # *kind* is structurally DGS here — cell-Vanka diverges, see module
         # docstring — so other configured kinds are warned about in the api)
-        kinds = []
-        for lo, hi in zip(levels[:-1], levels[1:]):
-            same = (lo.P_sol["u"], lo.P_sol["p"]) == (hi.P_sol["u"], hi.P_sol["p"])
-            kinds.append("penalty" if same else "polynomial")
         from dgtpu.parallel.halo import _level_smoother_cfgs
         self.cfgs = _level_smoother_cfgs(kinds, settings, pre_iters, post_iters)
         self.n_pass = smoother_passes
         # per-level color packing of the velocity stencil (any local band)
-        nj_loc = self.Nj // n_dev
-        self.a_packs = [ShardColorPack(d.A, d.A_Dinv, nj_loc, d.Ni)
+        self.a_packs = [ShardColorPack(d.A, d.A_Dinv, d.Nj // n_dev, d.Ni)
                         for d in self.data]
-
-        # element-local component transfers between consecutive levels
-        self.Ruv, self.Puv, self.Rp, self.Pp = [], [], [], []
-        for lo, hi in zip(levels[:-1], levels[1:]):
-            pu_c, pu_f = lo.P_sol["u"], hi.P_sol["u"]
-            pp_c, pp_f = lo.P_sol["p"], hi.P_sol["p"]
-            if (pu_c, pp_c) == (pu_f, pp_f):
-                nu_f, np_f = (pu_f + 1) ** 2, (pp_f + 1) ** 2
-                Ru2 = np.eye(2 * nu_f)
-                Rp = np.eye(np_f)
-            else:
-                Ru = p_restriction(pu_f, pu_c)
-                Ru2 = np.block([[Ru, np.zeros_like(Ru)],
-                                [np.zeros_like(Ru), Ru]])
-                Rp = p_restriction(pp_f, pp_c)
-            self.Ruv.append(jnp.asarray(Ru2))
-            self.Puv.append(jnp.asarray(Ru2.T))
-            self.Rp.append(jnp.asarray(Rp))
-            self.Pp.append(jnp.asarray(Rp.T))
 
         # replicated pinned coarse inverse in [uv-interleaved; p] ordering
         from dgtpu.ops.linalg import host_lu_inverse
@@ -237,6 +291,8 @@ class ShardedStokesMultigrid:
 
         self.tol = settings.solver.multigrid.tolerance
         self.max_cycles = int(settings.solver.multigrid.max_cycles)
+        self.cycle_type = str(getattr(settings.solver.multigrid,
+                                      "cycle_type", "V")).upper()
         self._built = None
 
     # -- V-cycle (statically unrolled over levels) ---------------------------
@@ -254,6 +310,29 @@ class ShardedStokesMultigrid:
         return (jax.lax.dynamic_slice_in_dim(e_uv, idx * nj_loc, nj_loc, 0),
                 jax.lax.dynamic_slice_in_dim(e_p, idx * nj_loc, nj_loc, 0))
 
+    def _restrict_field(self, k, R, r):
+        """Level k residual component -> level k-1 rhs (shard-local);
+        geometric transfers agglomerate 2x2 element tiles first (the same
+        shard-local reshape as the Poisson path, halo.ShardedMultigrid)."""
+        cf = self.cfs[k - 1]
+        if cf > 1:
+            nj_loc, ni, B = r.shape
+            rows = r.reshape(nj_loc // cf, cf, ni // cf, cf, B)
+            rows = rows.transpose(0, 2, 1, 3, 4).reshape(
+                nj_loc // cf, ni // cf, cf * cf * B)
+            return jnp.einsum("ab,jib->jia", R, rows)
+        return jnp.einsum("ab,jib->jia", R, r)
+
+    def _prolong_field(self, k, Pm, e_c):
+        cf = self.cfs[k - 1]
+        v = jnp.einsum("ab,jib->jia", Pm, e_c)
+        if cf > 1:
+            njc_loc, nic, _ = e_c.shape
+            B = v.shape[2] // (cf * cf)
+            v = v.reshape(njc_loc, nic, cf, cf, B).transpose(0, 2, 1, 3, 4)
+            return v.reshape(njc_loc * cf, nic * cf, B)
+        return v
+
     def _v_cycle(self, k, datas, coarse_inv, Rs, Ps, apacks, f_mom, f_cont,
                  uv, p):
         if k == 0:
@@ -266,14 +345,17 @@ class ShardedStokesMultigrid:
                                apack=apack)
         r_mom, r_cont = _saddle_residual(data, f_mom, f_cont, uv, p)
         Ruv, Rp = Rs[k - 1]
-        fc_mom = jnp.einsum("ab,jib->jia", Ruv, r_mom)
-        fc_cont = jnp.einsum("ab,jib->jia", Rp, r_cont)
+        fc_mom = self._restrict_field(k, Ruv, r_mom)
+        fc_cont = self._restrict_field(k, Rp, r_cont)
         e_uv, e_p = self._v_cycle(k - 1, datas, coarse_inv, Rs, Ps, apacks,
                                   fc_mom, fc_cont,
                                   jnp.zeros_like(fc_mom), jnp.zeros_like(fc_cont))
+        if self.cycle_type == "W" and k - 1 > 0:
+            e_uv, e_p = self._v_cycle(k - 1, datas, coarse_inv, Rs, Ps,
+                                      apacks, fc_mom, fc_cont, e_uv, e_p)
         Puv, Pp = Ps[k - 1]
-        uv = uv + jnp.einsum("ab,jib->jia", Puv, e_uv)
-        p = p + jnp.einsum("ab,jib->jia", Pp, e_p)
+        uv = uv + self._prolong_field(k, Puv, e_uv)
+        p = p + self._prolong_field(k, Pp, e_p)
         for _ in range(post.iterations):
             uv, p = _dgs_sweep(data, f_mom, f_cont, uv, p, self.n_pass,
                                apack=apack)
@@ -360,6 +442,113 @@ class ShardedStokesMultigrid:
             apacks = tuple(pk.tree() for pk in self.a_packs)
             uv, p, res, n, hist = self._built(datas, self.coarse_inv, Rs, Ps,
                                               apacks, *args)
+        hist = np.asarray(hist)
+        self.history = [float(r) for r in hist[np.isfinite(hist)]]
+        return self._join_fields(uv, p), float(res), int(n)
+
+    # -- mixed-precision refinement over the mesh ----------------------------
+
+    def _data32(self):
+        """Float32 casts of the cycle data (built once, cached)."""
+        if getattr(self, "_data32_cache", None) is None:
+            f32 = jnp.float32
+
+            def cast(x):
+                return x.astype(f32) if jnp.issubdtype(x.dtype,
+                                                       jnp.floating) else x
+
+            datas32 = tuple(tuple(cast(a) for a in d.tree())
+                            for d in self.data)
+            packs32 = tuple(
+                (tuple(b.astype(f32) for b in pk.off_blocks),
+                 tuple(dv.astype(f32) for dv in pk.Dinv),
+                 tuple(pk.idx), tuple(pk.off_nbr))
+                for pk in self.a_packs)
+            Rs32 = tuple((r.astype(f32), rp.astype(f32))
+                         for r, rp in zip(self.Ruv, self.Rp))
+            Ps32 = tuple((pu.astype(f32), pp.astype(f32))
+                         for pu, pp in zip(self.Puv, self.Pp))
+            self._data32_cache = (datas32, self.coarse_inv.astype(f32),
+                                  Rs32, Ps32, packs32)
+        return self._data32_cache
+
+    def build_refined(self, tol=1e-10, n_inner=6, max_outer=20):
+        """Sharded Stokes mixed-precision defect correction: the f64 saddle
+        defect runs as halo-exchange component matvecs, the inner correction
+        as n_inner f32 sharded DGS V-cycles — the Stokes analog of
+        ``halo.ShardedMultigrid.build_refined`` (>95% of the work in
+        native-speed float32 while the outer loop reaches the 1e-10
+        BASELINE parity target)."""
+        shard_map = jax.shard_map
+        mesh = self.mesh
+        n_lev = len(self.levels)
+        spec = P(AXIS)
+        data_specs = tuple(tuple(P(AXIS) for _ in d.tree())
+                           for d in self.data)
+        Rs_specs = tuple((P(), P()) for _ in self.Ruv)
+        apack_specs = tuple(pk.specs() for pk in self.a_packs)
+
+        def solve_local(top64, datas, coarse_inv, Rs, Ps, apacks,
+                        f_mom, f_cont, uv0, p0):
+            r0m, r0c = _saddle_residual(top64, f_mom, f_cont, uv0, p0)
+            res0 = _pnorm_pair(r0m, r0c)
+            hist0 = jnp.full((max_outer + 1,), jnp.nan, dtype=f_mom.dtype)
+
+            def inner(rm32, rc32):
+                uv = jnp.zeros_like(rm32)
+                p = jnp.zeros_like(rc32)
+                for _ in range(n_inner):
+                    uv, p = self._v_cycle(n_lev - 1, datas, coarse_inv, Rs,
+                                          Ps, apacks, rm32, rc32, uv, p)
+                return uv, p
+
+            def cond(state):
+                n, uv, p, res, hist = state
+                return (n < max_outer) & (res >= tol) & jnp.isfinite(res)
+
+            def body(state):
+                n, uv, p, res, hist = state
+                hist = hist.at[n].set(res)
+                rm, rc = _saddle_residual(top64, f_mom, f_cont, uv, p)
+                duv, dp = inner(rm.astype(jnp.float32),
+                                rc.astype(jnp.float32))
+                uv = uv + duv.astype(f_mom.dtype)
+                p = p + dp.astype(f_mom.dtype)
+                rm, rc = _saddle_residual(top64, f_mom, f_cont, uv, p)
+                return n + 1, uv, p, _pnorm_pair(rm, rc) / res0, hist
+
+            one = jnp.asarray(1.0, dtype=f_mom.dtype)
+            n, uv, p, res, hist = jax.lax.while_loop(
+                cond, body, (jnp.asarray(0, jnp.int32), uv0, p0, one, hist0))
+            hist = hist.at[n].set(res)
+            return uv, p, res, n, hist
+
+        fn = shard_map(solve_local, mesh=mesh,
+                       in_specs=((P(AXIS),) * 3, data_specs, P(), Rs_specs,
+                                 Rs_specs, apack_specs, spec, spec, spec,
+                                 spec),
+                       out_specs=(spec, spec, P(), P(), P()),
+                       check_vma=False)
+        return jax.jit(fn)
+
+    def solve_refined(self, rhs_global, u0_global=None, tol=1e-10,
+                      n_inner=6, max_outer=20):
+        """f64-accuracy sharded Stokes solve; returns (u, res, n_outer)."""
+        f_mom, f_cont = self._split_fields(
+            jnp.asarray(rhs_global, dtype=jnp.float64))
+        if u0_global is None:
+            uv0, p0 = jnp.zeros_like(f_mom), jnp.zeros_like(f_cont)
+        else:
+            uv0, p0 = self._split_fields(u0_global)
+        fn = self.build_refined(tol=tol, n_inner=n_inner,
+                                max_outer=max_outer)
+        datas32, cinv32, Rs32, Ps32, packs32 = self._data32()
+        top = self.data[-1]
+        with self.mesh:
+            sh = NamedSharding(self.mesh, P(AXIS))
+            args = [jax.device_put(x, sh) for x in (f_mom, f_cont, uv0, p0)]
+            uv, p, res, n, hist = fn((top.A, top.D, top.G), datas32, cinv32,
+                                     Rs32, Ps32, packs32, *args)
         hist = np.asarray(hist)
         self.history = [float(r) for r in hist[np.isfinite(hist)]]
         return self._join_fields(uv, p), float(res), int(n)
