@@ -98,20 +98,30 @@ def time_per_iter(many, rhs, u0, reps, scale=8):
 
 
 def _timed_dgfem(settings_fn, **kwargs):
-    """Build + solve a DGFEM case; returns (dg, solve_seconds)."""
+    """Build + solve a DGFEM case twice; returns (dg, cold_s, warm_s).
+
+    The first solve is dominated by tracing + (remote) compilation; the
+    second hits the persistent compile cache, so ``warm_s`` approximates
+    the steady-state solver time and ``cold_s - warm_s`` the compile cost.
+    """
     from dgtpu.api import DGFEM
     dg = DGFEM(settings=settings_fn(), **kwargs)
     t0 = time.perf_counter()
     dg.solve()
-    return dg, time.perf_counter() - t0
+    t_cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    dg.solve()
+    t_warm = time.perf_counter() - t0
+    return dg, t_cold, t_warm
 
 
 def run_baseline_configs(skip=()):
     """Time all five BASELINE.md benchmark configs end to end.
 
     Reference behavior: solver.py:29-53 logs a wall time for every method.
-    Each entry: config name, solve wall seconds, normalized residual,
-    L2 error(s).
+    Each entry: config name, cold (compile-inclusive) and warm (steady-
+    state) solve wall seconds, normalized residual, an explicit
+    ``converged`` flag against the 1e-6 criterion, L2 error(s).
     """
     from dgtpu.settings import Settings, load_params
 
@@ -137,12 +147,16 @@ def run_baseline_configs(skip=()):
         if name in skip:
             return
         try:
-            dg, secs = fn()
+            dg, cold, warm = fn()
             from dgtpu.utils.norms import lp_norm
             res_n = (dg.residuals[-1] if dg.residuals
                      else dg.residual / float(lp_norm(dg.levels[-1].rhs, 2)))
-            entry = {"config": name, "solve_s": round(secs, 4),
+            entry = {"config": name,
+                     "solve_s": round(warm, 4),
+                     "solve_cold_s": round(cold, 4),
+                     "compile_s": round(max(cold - warm, 0.0), 4),
                      "residual_normalized": res_n,
+                     "converged": bool(res_n < 1e-6),
                      "L2_error_u": dg.L2_error_u}
             for k in ("L2_error_v", "L2_error_p"):
                 if hasattr(dg, k):
@@ -205,21 +219,10 @@ def run_baseline_configs(skip=()):
     return out
 
 
-def stokes_vcycle_metric(reps=100, n=8, use_pallas=True):
-    """Amortized per-V-cycle latency of the Stokes DGS multigrid.
-
-    8x8 p_u=2/p_p=1 global-order Stokes, p-coarsening (u 2->1) + geometric
-    (8->4->2), distributive-GS smoothing, direct coarse solve — the Stokes
-    analog of the flagship Poisson metric.  Times the SoA fused Pallas
-    kernel (TPU) and its identical-algorithm XLA build.
-    """
-    import jax
-    import jax.numpy as jnp
-    from dgtpu.api import DGFEM
-    from dgtpu.ops.pallas_stokes import SoAStokesVCycle
+def _stokes_settings(n=8):
+    """Settings for the Stokes flagship: n x n p_u=2/p_p=1 global order,
+    p-coarsening (u 2->1) + geometric (n -> ... -> 2), distributive GS."""
     from dgtpu.settings import Settings, load_params
-    from dgtpu.utils.device import setup_scope
-
     params = load_params()
     params["problem"]["type"] = "Stokes"
     params["grid"]["filename"] = f"Rectangle_{n}X{n}_nPoly2.xyz"
@@ -248,14 +251,39 @@ def stokes_vcycle_metric(reps=100, n=8, use_pallas=True):
     s = Settings(params)
     s.solver.method = "multigrid"
     s.update_setting("solver.discretization", "dg")
-    dg = DGFEM(settings=s, solve_multigrid=True)
+    return s
+
+
+def stokes_vcycle_metric(reps=100, n=8, use_pallas=True):
+    """Per-V-cycle latency + time-to-1e-10 of the Stokes DGS multigrid.
+
+    n x n p_u=2/p_p=1 global-order Stokes, p-coarsening (u 2->1) + geometric
+    multigrid, distributive-GS smoothing, direct coarse solve — the Stokes
+    analog of the flagship Poisson metric.  Times the SoA fused Pallas
+    kernel (TPU) and its identical-algorithm XLA build, then measures the
+    mixed-precision (f32 cycles + emulated-f64 defect) time to a 1e-10
+    normalized residual — the BASELINE parity metric.
+    """
+    import jax
+    import jax.numpy as jnp
+    from dgtpu.api import DGFEM
+    from dgtpu.geometry import generate_rectangle_grid, write_plot3d
+    from dgtpu.ops.pallas_stokes import SoAStokesVCycle
+    from dgtpu.utils.device import setup_scope
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    gridfile = os.path.join(repo, "input", f"Rectangle_{n}X{n}_nPoly2.xyz")
+    if not os.path.exists(gridfile):
+        write_plot3d(gridfile, *generate_rectangle_grid(n, n, 2))
+    dg = DGFEM(settings=_stokes_settings(n), solve_multigrid=True)
 
     with setup_scope():
         sv = SoAStokesVCycle(dg.levels, dg.transfers, dg.transfer_types,
                              dg.settings, dtype=jnp.float32)
     target = jax.devices()[0]
     sv.to_device(target)
-    rhs = jax.device_put(dg.levels[-1].rhs.astype(jnp.float32), target)
+    rhs64 = jax.device_put(dg.levels[-1].rhs, target)
+    rhs = rhs64.astype(jnp.float32)
     u0 = jnp.zeros_like(rhs)
     op = jax.device_put(dg.levels[-1].op, target)
     out = {"grid": f"{n}x{n}_pu2_pp1",
@@ -278,51 +306,56 @@ def stokes_vcycle_metric(reps=100, n=8, use_pallas=True):
         ms, _ = time_per_iter(many, rhs, u0, reps)
         return ms, r5
 
-    ms, r5 = time_one(sv.build_xla())
+    best_cycle = sv.build_xla()
+    ms, r5 = time_one(best_cycle)
     out["xla_ms"] = round(ms, 4)
     out["residual_after_5_cycles"] = r5
+    out["contraction_per_cycle"] = round(r5 ** 0.2, 4)
     if jax.default_backend() == "tpu" and use_pallas:
         try:
-            ms, _ = time_one(sv.build())
+            fused = sv.build()
+            ms, _ = time_one(fused)
             out["soa_fused_ms"] = round(ms, 4)
+            best_cycle = fused
         except Exception as e:  # pragma: no cover — report and fall back
             print(f"# stokes fused path failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
     out["v_cycle_ms"] = min(out["xla_ms"], out.get("soa_fused_ms",
                                                    out["xla_ms"]))
+
+    # time-to-1e-10 via mixed-precision refinement (BASELINE parity metric)
+    try:
+        from dgtpu.solvers.refinement import make_refined_solver
+        refined = make_refined_solver(op, best_cycle, n_inner=6, tol=1e-10)
+        import jax as _j
+        u_r, res_r, n_r, _ = _j.block_until_ready(
+            refined(rhs64, jnp.zeros_like(rhs64)))
+        t0 = time.perf_counter()
+        u_r, res_r, n_r, _ = _j.block_until_ready(
+            refined(rhs64, jnp.zeros_like(rhs64)))
+        out["time_to_1e-10_ms"] = round((time.perf_counter() - t0) * 1e3, 3)
+        out["refined_outer_iters"] = int(n_r)
+        out["refined_residual"] = float(res_r)
+        assert float(res_r) < 1e-10, float(res_r)
+    except AssertionError:
+        raise
+    except Exception as e:  # pragma: no cover
+        print(f"# stokes refinement failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
     return out
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--dtype", default="float32",
-                    choices=["float32", "float64", "bfloat16"],
-                    help="bfloat16 = bf16 stencil blocks with f32 vectors/"
-                         "diag-inverses (halves the HBM-bound operator "
-                         "traffic; accuracy recovered by refinement)")
-    ap.add_argument("--reps", type=int, default=200)
-    ap.add_argument("--backend", default=None)
-    ap.add_argument("--no-pallas", action="store_true")
-    ap.add_argument("--pallas-max-n", type=int, default=16,
-                    help="largest grid-n for the fused Pallas kernel; beyond "
-                         "16 the padded operator hierarchy exceeds v5e VMEM "
-                         "(the (B,B) blocks tile-pad to (8k,128) lanes)")
-    ap.add_argument("--soa-max-n", type=int, default=32,
-                    help="largest grid-n for the SoA (cells-in-lanes) fused "
-                         "kernel; its ~11%% padding keeps the hierarchy "
-                         "VMEM-resident through 32x32 on v5e")
-    ap.add_argument("--grid-n", type=int, default=8,
-                    help="elements per direction (8 = BASELINE flagship)")
-    ap.add_argument("--p", type=int, default=5, help="solution degree")
-    ap.add_argument("--skip-configs", action="store_true",
-                    help="skip the five BASELINE config timings (flagship "
-                         "latency only)")
-    args = ap.parse_args()
+def measure_flagship(args, grid_n, gate=True, refine=True):
+    """Measure the flagship Poisson V-cycle at one grid size.
 
+    Returns the result dict: marginal per-cycle latency for every
+    implementation that applies at this size (XLA packed, rolled fused,
+    SoA fused, streamed hybrid), the best one as ``value``/``impl``,
+    HBM-model utilization, and (``refine=True``) the mixed-precision
+    time-to-1e-10.  ``gate=True`` first proves f64 convergence on the
+    same hierarchy (the correctness gate).
+    """
     import jax
-    if args.backend:
-        jax.config.update("jax_platforms", args.backend)
-    _enable_compile_cache()
     import jax.numpy as jnp
     import numpy as np
 
@@ -330,9 +363,9 @@ def main():
     from dgtpu.ops.smoothers import element_colors
     from dgtpu.ops.stencil import StencilOperator
     from dgtpu.solvers.multigrid import MultigridSolver
-
     from dgtpu.utils.device import setup_scope
-    dg = _flagship(n=args.grid_n, p_grid=args.p, p_sol=args.p)
+
+    dg = _flagship(n=grid_n, p_grid=args.p, p_sol=args.p)
     # block_dtype: the big stencil arrays; vec_dtype: vectors, diag inverses,
     # transfers, coarse inverse.  bfloat16 mode keeps the solve in f32 and
     # only narrows the HBM-dominant operator blocks.
@@ -342,13 +375,18 @@ def main():
     target = jax.devices()[0]
 
     with setup_scope():
-        # correctness gate in f64 on the same hierarchy (host)
         colors = [element_colors(l.Ni, l.Nj) for l in dg.levels]
-        mg64 = MultigridSolver([l.op for l in dg.levels], dg.transfers,
-                               dg.transfer_types, dg.settings, colors=colors)
         rhs64 = dg.levels[-1].rhs
-        u64, res64, n64, _ = mg64.solve(rhs64)
-        assert float(res64) < 1e-6, f"correctness gate failed: {float(res64)}"
+        if gate:
+            # correctness gate in f64 on the same hierarchy (host)
+            mg64 = MultigridSolver([l.op for l in dg.levels], dg.transfers,
+                                   dg.transfer_types, dg.settings,
+                                   colors=colors)
+            u64, res64, n64, _ = mg64.solve(rhs64)
+            assert float(res64) < 1e-6, \
+                f"correctness gate failed: {float(res64)}"
+        else:
+            n64 = None
 
         # fast-path operators (cast on host)
         ops = [StencilOperator(l.op.blocks.astype(block_dtype), l.op.nbr,
@@ -423,10 +461,8 @@ def main():
             # the fused Pallas kernel keeps the whole hierarchy VMEM-
             # resident; tile padding of the operator blocks caps it at
             # 16x16 on v5e (larger grids use the generic XLA path).
-            # Compile is ~35-70 s (loops + single-batch dot_general keep
-            # kernel size O(1) in the grid).
             if (jax.default_backend() == "tpu" and not args.no_pallas
-                    and args.grid_n <= args.pallas_max_n):
+                    and grid_n <= args.pallas_max_n):
                 pallas_one = pv.build()
 
                 @jax.jit
@@ -436,11 +472,9 @@ def main():
                     return jax.lax.fori_loop(0, n, body, u)
                 pallas_fn = (pallas_one, pallas_many)
             # structure-of-arrays fused cycle (cells in lanes): ~11% tile
-            # padding instead of 3.5x, VMEM-resident through 32x32, and
-            # ~1.4x faster than the rolled kernel at 16x16.  Compile is
-            # slow (minutes) but served from the persistent cache.
+            # padding instead of 3.5x, VMEM-resident through 32x32.
             if (jax.default_backend() == "tpu" and not args.no_pallas
-                    and args.grid_n <= args.soa_max_n):
+                    and grid_n <= args.soa_max_n):
                 from dgtpu.ops.pallas_soa import SoAVCycle
                 with setup_scope():
                     sv = SoAVCycle([l.op for l in dg.levels], dg.transfers,
@@ -459,7 +493,7 @@ def main():
             # streamed through a sequential pallas grid, vectors resident,
             # coarse subtree as one fused kernel)
             if (jax.default_backend() == "tpu" and not args.no_pallas
-                    and args.grid_n > args.soa_max_n):
+                    and grid_n > args.soa_max_n):
                 from dgtpu.ops.pallas_stream import StreamedVCycle
                 with setup_scope():
                     hv = StreamedVCycle([l.op for l in dg.levels],
@@ -483,31 +517,30 @@ def main():
     u_check = jax.block_until_ready(many_cycles(rhs, u0, 5))
     r5 = float(jnp.linalg.norm(rhs - ops[-1].matvec(u_check))
                / jnp.linalg.norm(rhs))
-    assert r5 < 1e-2, f"fast path not contracting: rel residual {r5} after 5 cycles"
+    assert r5 < 1e-2, \
+        f"fast path not contracting: rel residual {r5} after 5 cycles"
 
     # marginal per-cycle device time (slope fit — excludes the fixed
     # per-dispatch tunnel overhead, reported separately)
     t_amortized, t_fixed = time_per_iter(many_cycles, rhs, u0, args.reps)
 
-    # time-to-1e-10 via mixed-precision refinement (f64 defect, f32 cycles) —
-    # the BASELINE parity metric
-    from dgtpu.solvers.refinement import make_refined_solver
-    op64 = jax.device_put(dg.levels[-1].op, target)
-    rhs64 = jax.device_put(rhs64, target)
-    cyc32 = (lambda r, u: mg.v_cycle(n_lev, r, u)) \
-        if args.dtype != "float64" else None
+    # time-to-1e-10 via mixed-precision refinement (f64 defect, f32 cycles)
     t_refine = None
     res_r = n_r = None
-    if cyc32 is not None:
+    if refine and args.dtype != "float64":
+        from dgtpu.solvers.refinement import make_refined_solver
+        op64 = jax.device_put(dg.levels[-1].op, target)
+        rhs64d = jax.device_put(rhs64, target)
+        cyc32 = lambda r, u: mg.v_cycle(n_lev, r, u)
         # tolerate infra flakes here (the emulated-f64 refinement graph is
         # the largest compile of the run) — keep the latency numbers
         try:
             refined = make_refined_solver(op64, cyc32, n_inner=6, tol=1e-10)
             u_r, res_r, n_r, _ = jax.block_until_ready(
-                refined(rhs64, jnp.zeros_like(rhs64)))
+                refined(rhs64d, jnp.zeros_like(rhs64d)))
             t0 = time.perf_counter()
             u_r, res_r, n_r, _ = jax.block_until_ready(
-                refined(rhs64, jnp.zeros_like(rhs64)))
+                refined(rhs64d, jnp.zeros_like(rhs64d)))
             t_refine = (time.perf_counter() - t0) * 1e3
             assert float(res_r) < 1e-10, float(res_r)
         except AssertionError:
@@ -535,12 +568,13 @@ def main():
         "dispatch_inclusive_ms": round(t_dispatch, 4),
         "dtype": args.dtype,
         "backend": jax.default_backend(),
-        "f64_cycles_to_1e-6": int(n64),
         "residual_after_5_fast_cycles": r5,
         "impl": "xla",
-        "grid": f"{args.grid_n}x{args.grid_n}_p{args.p}",
+        "grid": f"{grid_n}x{grid_n}_p{args.p}",
         "n_dof": int(rhs.shape[0]),
     }
+    if n64 is not None:
+        result["f64_cycles_to_1e-6"] = int(n64)
     if t_refine is not None:
         result["time_to_1e-10_ms"] = round(t_refine, 3)
         result["refined_outer_iters"] = int(n_r)
@@ -566,7 +600,8 @@ def main():
                 result["impl"] = tag
         except Exception as e:
             msg = str(e).splitlines()[0][:300] if str(e) else ""
-            print(f"# {tag} failed: {type(e).__name__}: {msg}", file=sys.stderr)
+            print(f"# {tag} failed: {type(e).__name__}: {msg}",
+                  file=sys.stderr)
 
     if rolled_fn is not None:
         try_impl("rolled_fused", rolled_fn)
@@ -584,6 +619,171 @@ def main():
     result["hbm_bytes_per_cycle"] = int(bytes_cycle)
     result["hbm_achieved_gbps"] = round(achieved_gbps, 1)
     result["hbm_utilization"] = round(achieved_gbps / PEAK_HBM_GBPS, 4)
+    return result
+
+
+def run_scaling(args, sizes, headline=None):
+    """The flagship metric at every size in ``sizes`` — the driver-visible
+    scaling story (VERDICT r2 item 2): one entry per grid size with the
+    marginal per-cycle latency, which implementation won, HBM utilization,
+    and the mixed-precision time-to-1e-10."""
+    out = []
+    for n in sizes:
+        try:
+            if headline is not None and headline.get("grid") == \
+                    f"{n}x{n}_p{args.p}":
+                r = headline
+            else:
+                r = measure_flagship(args, n, gate=False, refine=True)
+            entry = {"grid_n": n, "n_dof": r["n_dof"],
+                     "v_cycle_ms": r["value"], "impl": r["impl"],
+                     "hbm_utilization": r["hbm_utilization"]}
+            for k in ("time_to_1e-10_ms", "refined_outer_iters"):
+                if k in r:
+                    entry[k] = r[k]
+            out.append(entry)
+        except Exception as e:  # pragma: no cover — record, keep scaling
+            msg = str(e).splitlines()[0][:200] if str(e) else ""
+            print(f"# scaling n={n} failed: {type(e).__name__}: {msg}",
+                  file=sys.stderr)
+            out.append({"grid_n": n, "error": f"{type(e).__name__}: {msg}"})
+    return out
+
+
+def run_smoke(args):
+    """TPU Mosaic smoke gate: compile every fused/streamed kernel
+    generation at a tiny shape (4x4, p=2) and check one cycle against its
+    own XLA build.  The pytest suite runs the Pallas paths interpret-only
+    on CPU, so an actual Mosaic lowering regression would otherwise ship
+    green — this block surfaces it in the driver artifact in minutes
+    (VERDICT r2 weak item 4)."""
+    import jax
+    import jax.numpy as jnp
+    from __graft_entry__ import _flagship
+    from dgtpu.utils.device import setup_scope
+
+    target = jax.devices()[0]
+    out = {}
+
+    def check(tag, kernel_fn, ref_fn, rhs):
+        try:
+            t0 = time.perf_counter()
+            u_k = jax.block_until_ready(kernel_fn(rhs, jnp.zeros_like(rhs)))
+            compile_s = time.perf_counter() - t0
+            u_r = ref_fn(rhs, jnp.zeros_like(rhs))
+            rel = float(jnp.max(jnp.abs(u_k - u_r))
+                        / (jnp.max(jnp.abs(u_r)) + 1e-30))
+            out[tag] = {"ok": bool(rel < 1e-5), "rel_err": rel,
+                        "first_call_s": round(compile_s, 1)}
+        except Exception as e:  # pragma: no cover
+            out[tag] = {"ok": False,
+                        "error": f"{type(e).__name__}: {str(e)[:200]}"}
+
+    # Poisson kernels on the tiny flagship hierarchy
+    try:
+        dg = _flagship(n=4, p_grid=2, p_sol=2)
+        dims = [(l.Nj, l.Ni) for l in dg.levels]
+        rhs = jax.device_put(dg.levels[-1].rhs.astype(jnp.float32), target)
+        from dgtpu.ops.pallas_soa import SoAVCycle
+        from dgtpu.ops.pallas_stream import StreamedVCycle
+        from dgtpu.ops.pallas_vcycle import PallasVCycle
+        with setup_scope():
+            pv = PallasVCycle([l.op for l in dg.levels], dg.transfers,
+                              dg.transfer_types, dg.settings, dims,
+                              dtype=jnp.float32)
+            sv = SoAVCycle([l.op for l in dg.levels], dg.transfers,
+                           dg.transfer_types, dg.settings, dims,
+                           dtype=jnp.float32)
+            hv = StreamedVCycle([l.op for l in dg.levels], dg.transfers,
+                                dg.transfer_types, dg.settings, dims,
+                                dtype=jnp.float32)
+        pv.to_device(target)
+        sv.to_device(target)
+        hv.to_device(target)
+        check("rolled_fused", pv.build(), pv.build_xla(), rhs)
+        check("soa_fused", sv.build(), sv.build_xla(), rhs)
+        check("streamed", hv.build(), sv.build_xla(), rhs)
+    except Exception as e:  # pragma: no cover
+        out["poisson"] = {"ok": False,
+                          "error": f"{type(e).__name__}: {str(e)[:200]}"}
+
+    # Stokes kernels
+    try:
+        from dgtpu.api import DGFEM
+        from dgtpu.geometry import generate_rectangle_grid, write_plot3d
+        from dgtpu.ops.pallas_stokes import SoAStokesVCycle
+        from dgtpu.ops.pallas_stokes_stream import StreamedStokesVCycle
+        repo = os.path.dirname(os.path.abspath(__file__))
+        gridfile = os.path.join(repo, "input", "Rectangle_4X4_nPoly2.xyz")
+        if not os.path.exists(gridfile):
+            write_plot3d(gridfile, *generate_rectangle_grid(4, 4, 2))
+        dgs = DGFEM(settings=_stokes_settings(4), solve_multigrid=True)
+        with setup_scope():
+            ssv = SoAStokesVCycle(dgs.levels, dgs.transfers,
+                                  dgs.transfer_types, dgs.settings,
+                                  dtype=jnp.float32)
+            shv = StreamedStokesVCycle(dgs.levels, dgs.transfers,
+                                       dgs.transfer_types, dgs.settings,
+                                       dtype=jnp.float32)
+        ssv.to_device(target)
+        shv.to_device(target)
+        rhs_s = jax.device_put(dgs.levels[-1].rhs.astype(jnp.float32),
+                               target)
+        check("stokes_fused", ssv.build(), ssv.build_xla(), rhs_s)
+        check("stokes_streamed", shv.build(), ssv.build_xla(), rhs_s)
+    except Exception as e:  # pragma: no cover
+        out["stokes"] = {"ok": False,
+                         "error": f"{type(e).__name__}: {str(e)[:200]}"}
+    out["all_ok"] = all(v.get("ok", False) for k, v in out.items()
+                        if isinstance(v, dict))
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "float64", "bfloat16"],
+                    help="bfloat16 = bf16 stencil blocks with f32 vectors/"
+                         "diag-inverses (halves the HBM-bound operator "
+                         "traffic; accuracy recovered by refinement)")
+    ap.add_argument("--reps", type=int, default=200)
+    ap.add_argument("--backend", default=None)
+    ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--pallas-max-n", type=int, default=16,
+                    help="largest grid-n for the fused Pallas kernel; beyond "
+                         "16 the padded operator hierarchy exceeds v5e VMEM "
+                         "(the (B,B) blocks tile-pad to (8k,128) lanes)")
+    ap.add_argument("--soa-max-n", type=int, default=32,
+                    help="largest grid-n for the SoA (cells-in-lanes) fused "
+                         "kernel; its ~11%% padding keeps the hierarchy "
+                         "VMEM-resident through 32x32 on v5e")
+    ap.add_argument("--grid-n", type=int, default=8,
+                    help="elements per direction (8 = BASELINE flagship)")
+    ap.add_argument("--p", type=int, default=5, help="solution degree")
+    ap.add_argument("--skip-configs", action="store_true",
+                    help="skip the five BASELINE config timings (flagship "
+                         "latency only)")
+    ap.add_argument("--skip-scaling", action="store_true",
+                    help="skip the 8/16/32/64 scaling sweep")
+    ap.add_argument("--skip-smoke", action="store_true",
+                    help="skip the Mosaic kernel smoke gate")
+    ap.add_argument("--scaling-sizes", default="8,16,32,64",
+                    help="comma list of grid sizes for the scaling sweep")
+    args = ap.parse_args()
+
+    import jax
+    if args.backend:
+        jax.config.update("jax_platforms", args.backend)
+    _enable_compile_cache()
+
+    result = measure_flagship(args, args.grid_n)
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu and not args.skip_smoke:
+        result["smoke"] = run_smoke(args)
+    if on_tpu and not args.skip_scaling and args.dtype == "float32":
+        sizes = sorted(map(int, str(args.scaling_sizes).split(",")))
+        result["scaling"] = run_scaling(args, sizes, headline=result)
 
     # the five BASELINE.md benchmark configs, timed end to end
     if not args.skip_configs:

@@ -385,6 +385,86 @@ def test_sharded_rejects_indivisible_nj(base_settings):
         ShardedMultigrid([coarse, lvl], [t], s, mesh=make_mesh(4))
 
 
+def test_sharded_stokes_geometric_multigrid(base_settings):
+    """Stokes p + geometric (h) hierarchy sharded over 4 devices: the 2x2
+    agglomeration is shard-local per component (VERDICT r2 item 5)."""
+    from dataclasses import replace
+
+    from dgtpu.level import CoarseGridLevel
+    from dgtpu.models.stokes import (StokesGeometricTransfer,
+                                     StokesPolynomialTransfer,
+                                     assemble_stokes)
+    from dgtpu.parallel.stokes_halo import ShardedStokesMultigrid
+    from dgtpu.solvers.direct import solve_direct
+
+    s = base_settings
+    s.update_setting("problem.type", "Stokes")
+    s.update_setting("grid.polynomial_degree", 2)
+    s.update_setting("solution.ordering", "global")
+    geom = Geometry(os.path.join(INPUT_DIR, "Rectangle_8X8_nPoly2.xyz"), s)
+    mms = ManufacturedSolution(
+        {"u": "sin(pi*x)*sin(pi*y)", "v": "cos(pi*x)*cos(pi*y)",
+         "p": "x**3 + y**3"}, "Stokes", s.problem.kinematic_viscosity)
+    mult = s.problem.SIP_penalty_parameter_multiplier
+    fine = GridLevel(geom, s, ["u", "p"], {"u": 2, "p": 1}, sigma=9 * mult)
+    p_coarse = GridLevel(geom, s, ["u", "p"], {"u": 1, "p": 0},
+                         sigma=4 * mult)
+    geo = CoarseGridLevel(geom, p_coarse, s, ["u", "p"], 2)
+    assemble_stokes(fine, mms)
+    assemble_stokes(p_coarse)
+    assemble_stokes(geo)
+    transfers = [
+        StokesGeometricTransfer(geo.Ni, geo.Nj, pu=1, pp=0, cf=2),
+        StokesPolynomialTransfer(fine.N, pu_fine=2, pu_coarse=1,
+                                 pp_fine=1, pp_coarse=0),
+    ]
+    mg = ShardedStokesMultigrid([geo, p_coarse, fine], s, mesh=make_mesh(4),
+                                transfers=transfers,
+                                transfer_types=["geometric", "polynomial"])
+    u, res, n = mg.solve(fine.rhs)
+    assert res < 1e-6, res
+    assert n <= 25, n
+    # velocity (gauge-free) parity with the pinned direct solve
+    ud = np.asarray(solve_direct(replace(fine.op, pin=True), fine.rhs))
+    n_uv = 2 * fine.N * fine.N_DOF_sol["u"]
+    scale = np.abs(ud[:n_uv]).max()
+    assert np.abs(np.asarray(u)[:n_uv] - ud[:n_uv]).max() < 1e-4 * scale
+
+    # sharded Stokes mixed precision: f32 inner cycles, f64 halo defect
+    u_r, res_r, n_r = mg.solve_refined(fine.rhs, tol=1e-10)
+    assert res_r < 1e-10, res_r
+    r = np.asarray(fine.rhs) - np.asarray(fine.op.matvec(jnp.asarray(u_r)))
+    assert np.linalg.norm(r) / np.linalg.norm(np.asarray(fine.rhs)) < 1e-9
+
+
+def test_sharded_mixed_via_dgfem_api():
+    """--shards 4 --precision mixed routes through the sharded refinement
+    (VERDICT r2 item 3): the final residual beats the 1e-6 full-precision
+    stopping criterion by four orders, proving the mixed path ran."""
+    from dgtpu.api import DGFEM
+    from dgtpu.settings import Settings, load_params
+
+    params = load_params()
+    params["grid"]["filename"] = "Rectangle_8X8_nPoly1.xyz"
+    params["grid"]["polynomial degree"] = 1
+    params["solution"]["u"]["polynomial degree"] = 2
+    params["solver"]["multigrid"]["polynomial coarsening"]["levels"]["u"] = "1,2"
+    params["solver"]["multigrid"]["geometric coarsening"]["enabled"] = True
+    params["solver"]["multigrid"]["geometric coarsening"]["coarsening factors"] = 2
+    params["visualization"]["export"] = False
+    params["visualization"]["automatically open paraview"] = False
+    params["logging"]["loglevel"] = "ERROR"
+    params["caching"]["enabled"] = False
+    params["performance"]["n_shards"] = 4
+    params["performance"]["precision"] = "mixed"
+    s = Settings(params)
+    s.solver.method = "multigrid"
+    s.update_setting("solver.discretization", "dg")
+    dg = DGFEM(settings=s, solve_multigrid=True)
+    dg.solve()
+    assert dg.residuals[-1] < 1e-10
+
+
 def test_sharded_mixed_precision_refinement(base_settings):
     """Sharded f32 cycles + f64 halo defect matvec reach the 1e-10 BASELINE
     parity target on the CPU mesh (VERDICT r1 item 6)."""
