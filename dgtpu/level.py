@@ -58,8 +58,21 @@ class GridLevel:
             self.gamma = settings.problem.velocity_penalty_parameter
 
         self.quad = QuadratureSet(self.N_grid, self.N_sol, self.N_int)
-        self.X, self.Y = element_coords(geometry.x, geometry.y,
-                                        self.Ni, self.Nj, self.P_grid)
+        # initialized-grid caching (reference grid.py:96-148): the
+        # per-element coordinate extraction is the host-side Python loop
+        # that reruns every launch; content-addressed by the node lattice
+        from dgtpu.utils.caching import (load_element_coords,
+                                         save_element_coords)
+        cached = load_element_coords(settings, geometry.x, geometry.y,
+                                     self.Ni, self.Nj, self.P_grid)
+        if cached is not None:
+            self.X, self.Y = cached
+        else:
+            self.X, self.Y = element_coords(geometry.x, geometry.y,
+                                            self.Ni, self.Nj, self.P_grid)
+            save_element_coords(settings, geometry.x, geometry.y,
+                                self.Ni, self.Nj, self.P_grid,
+                                self.X, self.Y)
         self._check_closure()
         self._build_topology()
         self._gt = None

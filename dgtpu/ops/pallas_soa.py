@@ -156,16 +156,32 @@ class SoAVCycle(PallasVCycle):
     @property
     def operand_bytes(self):
         """Actual (unpadded) bytes of the built operand arrays."""
+        return self._traverse_operands(lambda x: x.nbytes)
+
+    @property
+    def padded_operand_bytes(self):
+        """Tile-padded bytes of the built operands — what Mosaic actually
+        allocates in VMEM: the trailing two dims land on (8, 128) sublane/
+        lane tiles.  ``estimated_vmem_bytes`` must bracket THIS, not the
+        unpadded ``operand_bytes`` (at tiny grids padding alone is >10x)."""
+        def padded(x):
+            s = x.shape
+            lead = int(np.prod(s[:-2])) if len(s) > 2 else 1
+            sub = _pad8(s[-2]) if len(s) >= 2 else 1
+            return lead * sub * _pad128(s[-1]) * x.dtype.itemsize
+        return self._traverse_operands(padded)
+
+    def _traverse_operands(self, size_fn):
         total = 0
         for group in (self.soa_blocks, self.soa_Dinv):
             for t in group:
-                total += sum(x.nbytes for x in t)
-        total += sum(m.nbytes for m in self.soa_masks)
+                total += sum(size_fn(x) for x in t)
+        total += sum(size_fn(m) for m in self.soa_masks)
         for t in list(self.soa_R) + list(self.soa_P):
             if t is not None:
-                total += t.nbytes
+                total += size_fn(t)
         if self.soa_coarse is not None:
-            total += self.soa_coarse.nbytes
+            total += size_fn(self.soa_coarse)
         return total
 
     def __init__(self, ops, transfers, types, settings, dims,

@@ -119,6 +119,47 @@ def load_operator(level, problem_type):
     return op, rhs, inv_mass
 
 
+def _grid_cache_dir():
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    path = os.path.join(repo, "cache", "grid")
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def _grid_key(x, y, Ni, Nj, p_grid, tag):
+    """Content-addressed key: the node-coordinate hash IS the fingerprint
+    (reference grid.py:96-148 pickles initialized grids and validates by
+    settings equality; hashing the coordinates subsumes that for the
+    geometry-only arrays cached here)."""
+    h = hashlib.sha256()
+    h.update(np.ascontiguousarray(x).tobytes())
+    h.update(np.ascontiguousarray(y).tobytes())
+    return f"{tag}_{Ni}X{Nj}_nPoly{p_grid}_{h.hexdigest()[:16]}"
+
+
+def load_element_coords(settings, x, y, Ni, Nj, p_grid, tag="el_coords"):
+    """Cached per-element nodal coordinates (X, Y) or None."""
+    if not settings.caching.enabled:
+        return None
+    path = os.path.join(_grid_cache_dir(),
+                        _grid_key(x, y, Ni, Nj, p_grid, tag) + ".npz")
+    if not os.path.exists(path):
+        return None
+    data = np.load(path)
+    return data["X"], data["Y"]
+
+
+def save_element_coords(settings, x, y, Ni, Nj, p_grid, X, Y,
+                        tag="el_coords"):
+    if not settings.caching.enabled:
+        return None
+    path = os.path.join(_grid_cache_dir(),
+                        _grid_key(x, y, Ni, Nj, p_grid, tag) + ".npz")
+    np.savez(path, X=np.asarray(X), Y=np.asarray(Y))
+    return path
+
+
 def save_stokes_parts(level, A_blocks, D_blocks, G_blocks, rhs_local, epsilon):
     """Cache the ordering-independent Stokes pieces (pre-pin, local-order rhs).
 
