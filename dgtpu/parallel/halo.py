@@ -223,7 +223,11 @@ def _pnorm2(x):
 
 _KIND_TO_NODE = {"penalty": "penalty_parameter_coarsening",
                  "polynomial": "polynomial_coarsening",
-                 "geometric": "geometric_coarsening"}
+                 "geometric": "geometric_coarsening",
+                 # the FVM coarse level and its agglomerated sublevels are
+                 # children of geometric coarsening (api.py hierarchy build)
+                 "dg_to_fvm": "geometric_coarsening",
+                 "geometric_fvm": "geometric_coarsening"}
 
 
 def shardable_device_counts(levels):
@@ -286,12 +290,24 @@ class ShardedMultigrid:
                     f"(Nj per level: {[d[1] for d in self.dims]}) the usable "
                     f"device counts are {ok}")
         for t in transfers:
-            if t.kind not in ("polynomial", "penalty", "geometric"):
+            if t.kind not in ("polynomial", "penalty", "geometric",
+                              "dg_to_fvm", "geometric_fvm"):
                 raise NotImplementedError(
-                    "sharded multigrid supports p/penalty/geometric transfers "
-                    f"(got {t.kind})")
+                    "sharded multigrid supports p/penalty/geometric/FVM "
+                    f"transfers (got {t.kind})")
         self.levels = levels
-        self.transfer_meta = [(t.kind, getattr(t, "cf_f", 1)) for t in transfers]
+        self.transfer_meta = [(t.kind, getattr(t, "cf_f", 1),
+                               getattr(t, "cf_c", 1)) for t in transfers]
+        # tiled transfers (geometric agglomeration) are shard-local only if
+        # every device owns whole tiles on both sides
+        for k, (kind, cf_f, cf_c) in enumerate(self.transfer_meta):
+            nj_f = self.dims[k + 1][1]
+            nj_c = self.dims[k][1]
+            if (nj_f // n_dev) % cf_f or (nj_c // n_dev) % cf_c:
+                raise ValueError(
+                    f"{kind} transfer tiles ({cf_f}->{cf_c} rows) do not "
+                    f"align with {n_dev} devices "
+                    f"(local rows: fine {nj_f // n_dev}, coarse {nj_c // n_dev})")
         self.cfgs = _level_smoother_cfgs([t.kind for t in transfers], settings,
                                          pre_iters, post_iters)
         from dgtpu.ops.smoothers import SMOOTHER_ALIASES
@@ -309,8 +325,19 @@ class ShardedMultigrid:
         self.pack_host = [ShardColorPack(b, d, nj // n_dev, ni)
                           for (ni, nj), b, d in
                           zip(self.dims, self.blocks, self.Dinv)]
-        self.R = [t.R for t in transfers]
+        # dg->fvm restriction carries a per-cell residual scale (the cell
+        # Jacobian, transfer.py row_scale); folded into a per-cell R so it
+        # shards with the rows instead of threading an extra tree leaf
+        self.R = []
+        for k, t in enumerate(transfers):
+            if t.kind == "dg_to_fvm" and getattr(t, "row_scale", None) is not None:
+                ni_c, nj_c = self.dims[k]
+                sc = jnp.asarray(t.row_scale).reshape(nj_c, ni_c)
+                self.R.append(sc[:, :, None, None] * t.R[None, None])
+            else:
+                self.R.append(t.R)
         self.Pr = [t.P for t in transfers]
+        self.R_specs = tuple(P(AXIS) if r.ndim == 4 else P() for r in self.R)
         self.coarse_solver = str(settings.solver.multigrid.coarse_grid_solver)
         if self.coarse_solver in ("direct", "amg"):
             # same collapse as the single-chip solver: the coarsest system is
@@ -332,20 +359,43 @@ class ShardedMultigrid:
 
     def _restrict(self, k, R, r):
         """Level k residual -> level k-1 rhs (shard-local)."""
-        kind, cf = self.transfer_meta[k - 1]
+        kind, cf_f, cf_c = self.transfer_meta[k - 1]
         if kind == "geometric":
+            cf = cf_f
             nj_loc, ni, B = r.shape
             rows = r.reshape(nj_loc // cf, cf, ni // cf, cf, B)
             rows = rows.transpose(0, 2, 1, 3, 4).reshape(
                 nj_loc // cf, ni // cf, cf * cf * B)
             return jnp.einsum("ab,jib->jia", R, rows)
+        if kind == "geometric_fvm":
+            # cf_f x cf_f fine cells -> cf_c x cf_c coarse cells per tile
+            nj_loc, ni, B = r.shape
+            njt, nit = nj_loc // cf_f, ni // cf_f
+            rows = r.reshape(njt, cf_f, nit, cf_f, B)
+            rows = rows.transpose(0, 2, 1, 3, 4).reshape(
+                njt, nit, cf_f * cf_f * B)
+            out = jnp.einsum("ab,jib->jia", R, rows)
+            out = out.reshape(njt, nit, cf_c, cf_c, B).transpose(0, 2, 1, 3, 4)
+            return out.reshape(njt * cf_c, nit * cf_c, B)
+        if R.ndim == 4:                      # dg->fvm with per-cell scale
+            return jnp.einsum("jiab,jib->jia", R, r)
         return jnp.einsum("ab,jib->jia", R, r)
 
     def _prolong(self, k, Pm, e_c):
         """Level k-1 correction -> level k (shard-local)."""
-        kind, cf = self.transfer_meta[k - 1]
+        kind, cf_f, cf_c = self.transfer_meta[k - 1]
+        if kind == "geometric_fvm":
+            njc_loc, nic, B = e_c.shape
+            njt, nit = njc_loc // cf_c, nic // cf_c
+            rows = e_c.reshape(njt, cf_c, nit, cf_c, B)
+            rows = rows.transpose(0, 2, 1, 3, 4).reshape(
+                njt, nit, cf_c * cf_c * B)
+            v = jnp.einsum("ab,jib->jia", Pm, rows)
+            v = v.reshape(njt, nit, cf_f, cf_f, B).transpose(0, 2, 1, 3, 4)
+            return v.reshape(njt * cf_f, nit * cf_f, B)
         v = jnp.einsum("ab,jib->jia", Pm, e_c)
         if kind == "geometric":
+            cf = cf_f
             njc_loc, nic, _ = e_c.shape
             B = v.shape[2] // (cf * cf)
             v = v.reshape(njc_loc, nic, cf, cf, B).transpose(0, 2, 1, 3, 4)
@@ -403,7 +453,7 @@ class ShardedMultigrid:
         data_specs = (tuple(P(AXIS) for _ in self.blocks),
                       tuple(P(AXIS) for _ in self.Dinv),
                       tuple(P(AXIS) for _ in self.colors), P(), pack_specs,
-                      tuple(P() for _ in self.R), tuple(P() for _ in self.Pr))
+                      self.R_specs, tuple(P() for _ in self.Pr))
         tol, max_cycles = self.tol, self.max_cycles
 
         def solve_local(blocks, Dinv, colors, coarse_inv, packs, Rs, Ps,
@@ -492,7 +542,7 @@ class ShardedMultigrid:
         data_specs = (tuple(P(AXIS) for _ in self.blocks),
                       tuple(P(AXIS) for _ in self.Dinv),
                       tuple(P(AXIS) for _ in self.colors), P(), pack_specs,
-                      tuple(P() for _ in self.R), tuple(P() for _ in self.Pr))
+                      self.R_specs, tuple(P() for _ in self.Pr))
 
         def solve_local(b64, blocks, Dinv, colors, coarse_inv, packs, Rs, Ps,
                         rhs, u0):

@@ -481,3 +481,70 @@ def test_sharded_mixed_precision_refinement(base_settings):
     # true f64 residual of the returned vector
     r = np.asarray(rhs) - np.asarray(lvl.op.matvec(jnp.asarray(u)))
     assert np.linalg.norm(r) / np.linalg.norm(np.asarray(rhs)) < 1e-10
+
+
+def test_sharded_fvm_coarse_multigrid():
+    """Geometric coarsening with FVM coarse levels (use FVM: True) in
+    sharded mode: dg->fvm is element-local (per-cell Jacobian scale folded
+    into a sharded per-cell R), geometric_fvm agglomerates 4x4 fine ->
+    2x2 coarse cell tiles shard-locally.  Single-chip result reproduced.
+    """
+    from dgtpu.api import DGFEM
+    from dgtpu.settings import Settings, load_params
+
+    def build(n_shards):
+        params = load_params()
+        params["grid"]["filename"] = "Rectangle_8X8_nPoly1.xyz"
+        params["grid"]["polynomial degree"] = 1
+        params["solution"]["u"]["polynomial degree"] = 1
+        params["solver"]["multigrid"]["polynomial coarsening"]["enabled"] = False
+        params["solver"]["multigrid"]["geometric coarsening"]["enabled"] = True
+        params["solver"]["multigrid"]["geometric coarsening"]["use FVM"] = True
+        params["solver"]["multigrid"]["geometric coarsening"][
+            "coarsening factors"] = 2
+        params["visualization"]["export"] = False
+        params["visualization"]["automatically open paraview"] = False
+        params["logging"]["loglevel"] = "ERROR"
+        params["caching"]["enabled"] = False
+        if n_shards:
+            params["performance"]["n_shards"] = n_shards
+        s = Settings(params)
+        s.solver.method = "multigrid"
+        s.update_setting("solver.discretization", "dg")
+        dg = DGFEM(settings=s, solve_multigrid=True)
+        dg.solve()
+        return dg
+
+    ref = build(None)
+    sh = build(2)        # geometric_fvm needs whole 4x4 tiles per shard
+    assert [l.discretization for l in sh.levels] == ["fvm", "fvm", "dg"]
+    assert sh.residuals[-1] < 1e-6
+    assert np.isclose(sh.L2_error_u, ref.L2_error_u, rtol=1e-6)
+
+
+def test_sharded_fvm_tile_misalignment_errors():
+    """4 shards leave 2 fine FVM rows per device — not a whole 4-row
+    geometric_fvm tile; the constructor must reject it cleanly."""
+    from dgtpu.api import DGFEM
+    from dgtpu.settings import Settings, load_params
+
+    params = load_params()
+    params["grid"]["filename"] = "Rectangle_8X8_nPoly1.xyz"
+    params["grid"]["polynomial degree"] = 1
+    params["solution"]["u"]["polynomial degree"] = 1
+    params["solver"]["multigrid"]["polynomial coarsening"]["enabled"] = False
+    params["solver"]["multigrid"]["geometric coarsening"]["enabled"] = True
+    params["solver"]["multigrid"]["geometric coarsening"]["use FVM"] = True
+    params["solver"]["multigrid"]["geometric coarsening"][
+        "coarsening factors"] = 2
+    params["visualization"]["export"] = False
+    params["visualization"]["automatically open paraview"] = False
+    params["logging"]["loglevel"] = "ERROR"
+    params["caching"]["enabled"] = False
+    params["performance"]["n_shards"] = 4
+    s = Settings(params)
+    s.solver.method = "multigrid"
+    s.update_setting("solver.discretization", "dg")
+    dg = DGFEM(settings=s, solve_multigrid=True)
+    with pytest.raises(ValueError, match="tiles"):
+        dg.solve()
