@@ -1,0 +1,319 @@
+"""Double-single ("df32") compensated residuals: f64-accurate defects at
+f32 speed.
+
+TPU has no native float64 — XLA emulates it in software at a 20-50x
+slowdown, and the mixed-precision refinement loop
+(``solvers/refinement.py``) spends almost all of its time in the one
+emulated-f64 operator matvec per outer round (measured: the 8x8 flagship's
+time-to-1e-10 is ~90% f64 defect, ~10% f32 V-cycles).  This module removes
+the emulation from the hot path: every f64 quantity is carried as an exact
+pair of float32s (``hi + lo``, 48 significant bits), and the stencil
+residual ``r = b - A u`` is evaluated with error-free transformations
+(Knuth two-sum, Dekker-split exact products) entirely in native f32
+arithmetic.
+
+Accuracy: operator/vector entries are represented to 2^-48 relative
+(~3.6e-15) and the compensated accumulation keeps the evaluated residual
+within a few units of n * 2^-48 * ||A|| ||u|| of the exact one — measured
+against the numpy f64 oracle at <=1e-12 relative on the shipped operators,
+comfortably below the 1e-10 BASELINE parity target the refinement loop
+drives toward (the reference's own criterion, ``solver.py:114-123``).
+
+Cost: the stencil blocks are stored as THREE f32 arrays (A_hi split into
+12-bit halves so products are exact, plus the f64 remainder) — the same
+bytes as the emulated-f64 blocks — and each MAC costs ~20 VPU flops
+instead of 2, at full vector width.  No reference counterpart: the
+reference runs native f64 NumPy (``relaxation.py``, ``solver.py``)
+and never faces the problem.
+"""
+
+from dataclasses import dataclass
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+_SPLITTER = np.float32(4097.0)      # 2^12 + 1: Dekker splitter for f32
+
+
+# -- pair primitives (all plain f32 ops; correctness relies on IEEE
+#    round-to-nearest of each individual add/sub/mul, which XLA preserves —
+#    no fast-math reassociation) ---------------------------------------------
+
+def two_sum(a, b):
+    """Error-free addition: a + b = s + err exactly (Knuth)."""
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def split12(x):
+    """Dekker split of f32 ``x`` into 12-bit halves: x = hi + lo exactly."""
+    c = x * _SPLITTER
+    hi = c - (c - x)
+    return hi, x - hi
+
+
+def split_f64(x):
+    """f64 array -> exact (hi, lo) f32 pair: x = hi + lo to 2^-48 relative.
+
+    Range limit: for |x| below ~2e-31 the lo half is f32-subnormal and the
+    pair degrades gracefully to plain f32 accuracy — seven orders below
+    any residual scale the refinement loop resolves (1e-14 relative of
+    O(1)-normalized systems), and irrelevant to norms.
+    """
+    hi = jnp.asarray(x).astype(jnp.float32)
+    lo = (jnp.asarray(x) - hi.astype(jnp.float64)).astype(jnp.float32)
+    return hi, lo
+
+
+def split_f64_np(x):
+    """Host-side split_f64 (numpy, no jax tracing)."""
+    x = np.asarray(x, np.float64)
+    hi = x.astype(np.float32)
+    lo = (x - hi.astype(np.float64)).astype(np.float32)
+    return hi, lo
+
+
+def pair_to_f64(hi, lo):
+    return hi.astype(jnp.float64) + lo.astype(jnp.float64)
+
+
+def pair_add_f32(u_hi, u_lo, e):
+    """(u_hi, u_lo) + e for an f32 increment e, renormalized."""
+    s, err = two_sum(u_hi, e)
+    return two_sum(s, u_lo + err)
+
+
+def pair_norm2(hi, lo, normalized=True):
+    """Size-normalized 2-norm of the pair, evaluated in f32.
+
+    The pair's lo part is ~2^-24 of hi — far below the norm's own f32
+    rounding — so ||hi + lo|| == ||hi|| to f32 precision, and f32 resolves
+    residual levels down to ~1e-19 (squares bottom out near 1e-38).
+    """
+    v = hi + lo
+    n = jnp.asarray(v.size, jnp.float32) if normalized else 1.0
+    return jnp.sqrt(jnp.sum(v * v) / n)
+
+
+# -- compensated stencil residual --------------------------------------------
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DF32Stencil:
+    """A StencilOperator's blocks as exact f32 triples for df32 matvecs.
+
+    ``A = (A_hh + A_hl) + A_lo`` with A_hh/A_hl the 12-bit Dekker halves of
+    f32(A) — so every product against a split vector is exact in f32 —
+    and A_lo the f64 remainder.  Layout (K, N, Br) with K = 5 * Bc flattened
+    (slot, src-mode) MAC steps, matched by the gathered source values
+    (K, N); the accumulation runs as a ``fori_loop`` over K so the graph is
+    O(1) in the operator size.
+    """
+
+    A_hh: jnp.ndarray     # (K, N, Br) f32
+    A_hl: jnp.ndarray     # (K, N, Br) f32
+    A_lo: jnp.ndarray     # (K, N, Br) f32
+    nbr: jnp.ndarray      # (N, 5) int32
+    br: int
+    bc: int
+
+    def tree_flatten(self):
+        return (self.A_hh, self.A_hl, self.A_lo, self.nbr), (self.br, self.bc)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, br=aux[0], bc=aux[1])
+
+    @classmethod
+    def from_operator(cls, op64):
+        """Build from a StencilOperator with f64 blocks (host-side split)."""
+        blocks = np.asarray(op64.blocks, np.float64)
+        blocks = np.where(np.asarray(op64.mask)[:, :, None, None], blocks, 0.0)
+        n, s, br, bc = blocks.shape
+        a_hi, a_lo = split_f64_np(blocks)
+        c = a_hi * _SPLITTER
+        a_hh = c - (c - a_hi)
+        a_hl = a_hi - a_hh
+        # (N, 5, Br, Bc) -> (5, Bc, N, Br) -> (K, N, Br)
+        def fold(a):
+            return jnp.asarray(np.ascontiguousarray(
+                a.transpose(1, 3, 0, 2).reshape(s * bc, n, br)))
+        return cls(fold(a_hh), fold(a_hl), fold(a_lo),
+                   jnp.asarray(op64.nbr, jnp.int32), br, bc)
+
+    @property
+    def n_elem(self):
+        return self.A_hh.shape[1]
+
+    def _gathered(self, u_hi, u_lo):
+        """Source values per MAC step: (K, N) each for hh/hl/hi/lo."""
+        n, bc = self.n_elem, self.bc
+        u_hi = u_hi.reshape(n, bc)
+        u_lo = u_lo.reshape(n, bc)
+        u_hh, u_hl = split12(u_hi)
+
+        def fold(u):
+            g = u[self.nbr]                              # (N, 5, Bc)
+            return g.transpose(1, 2, 0).reshape(-1, n)   # (K, N)
+        return fold(u_hh), fold(u_hl), fold(u_hi), fold(u_lo)
+
+    def accumulate(self, state, u_hi, u_lo, sign=-1.0):
+        """Fold ``sign * A @ u`` into the compensated accumulator ``state``.
+
+        state = (s, e, e3), each (N, Br): (s, e) is a renormalized
+        double-single pair — each exact product is folded in with a
+        two-sum and the pair re-normalized (the classic df64 add), so the
+        pair's own rounding floor stays at ~2^-48 |s| per step.  e3 is a
+        plain f32 bucket for the 2^-24-scale cross terms, whose round-off
+        lands near 2^-48 and is immaterial.
+        """
+        g_hh, g_hl, g_hi, g_lo = self._gathered(u_hi, u_lo)
+        sign = jnp.float32(sign)
+
+        def fold(s, e, p):
+            # two_sum (not quick_two_sum) both times: under the heavy
+            # cancellation a residual evaluation exists for, |s| can drop
+            # below the carried error, violating quick_two_sum's |a|>=|b|
+            # precondition; two_sum is exact for any magnitudes
+            s, r = two_sum(s, p)
+            return two_sum(s, e + r)
+
+        def body(k, state):
+            s, e, e3 = state
+            a_hh = self.A_hh[k] * sign                   # (N, Br)
+            a_hl = self.A_hl[k] * sign
+            a_lo = self.A_lo[k] * sign
+            v_hh = g_hh[k][:, None]                      # (N, 1)
+            v_hl = g_hl[k][:, None]
+            v_hi = g_hi[k][:, None]
+            v_lo = g_lo[k][:, None]
+            p1 = a_hh * v_hh                             # exact (12+12 bit)
+            p2a = a_hh * v_hl                            # exact
+            p2b = a_hl * v_hh                            # exact
+            p3 = a_hl * v_hl + (a_lo * v_hi + a_hh * v_lo)
+            s, e = fold(s, e, p1)
+            s, e = fold(s, e, p2a)
+            s, e = fold(s, e, p2b)
+            return s, e, e3 + p3
+
+        return jax.lax.fori_loop(0, self.A_hh.shape[0], body, state)
+
+    def residual_pair(self, b_hi, b_lo, u_hi, u_lo):
+        """(b - A u) as an (hi, lo) f32 pair, compensated throughout."""
+        n, br = self.n_elem, self.br
+        state = _init_state(b_hi, b_lo, n, br)
+        state = self.accumulate(state, u_hi, u_lo, sign=-1.0)
+        return _finalize_state(state, n * br)
+
+    def matvec_pair(self, u_hi, u_lo):
+        """(A u) as an (hi, lo) f32 pair."""
+        n, br = self.n_elem, self.br
+        z = jnp.zeros((n, br), jnp.float32)
+        state = (z, z, z)
+        state = self.accumulate(state, u_hi, u_lo, sign=1.0)
+        return _finalize_state(state, n * br)
+
+
+def _init_state(b_hi, b_lo, n, br):
+    z = jnp.zeros((n, br), jnp.float32)
+    return (b_hi.reshape(n, br), b_lo.reshape(n, br), z)
+
+
+def _finalize_state(state, size):
+    s, e, e3 = state
+    hi, lo = two_sum(s, e + e3)
+    return hi.reshape(size), lo.reshape(size)
+
+
+# -- residual builders for the solver-facing operators ------------------------
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DF32PoissonResidual:
+    """r = b - A u for a plain StencilOperator, as f32 pairs."""
+
+    A: DF32Stencil
+
+    def tree_flatten(self):
+        return (self.A,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    def __call__(self, b_hi, b_lo, u_hi, u_lo):
+        return self.A.residual_pair(b_hi, b_lo, u_hi, u_lo)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DF32StokesResidual:
+    """r = b - [[A, G], [D, pin]] [uv; p] on globally ordered Stokes vectors.
+
+    Mirrors ``StokesGlobalOperator.matvec`` (models/stokes.py:186-195)
+    including the pressure pin; the u/v global<->element reorderings are
+    permutations (exact), applied to both pair halves.
+    """
+
+    A: DF32Stencil
+    D: DF32Stencil
+    G: DF32Stencil
+    pin: bool
+
+    def tree_flatten(self):
+        return (self.A, self.D, self.G), (self.pin,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, pin=aux[0])
+
+    def __call__(self, b_hi, b_lo, u_hi, u_lo):
+        from dgtpu.models.stokes import (_elem_uv_to_global,
+                                         _global_uv_to_elem)
+        n = self.A.n_elem
+        nu = self.A.br // 2
+        n_uv = 2 * n * nu
+        uv_hi = _global_uv_to_elem(u_hi[:n_uv], n, nu)
+        uv_lo = _global_uv_to_elem(u_lo[:n_uv], n, nu)
+        p_hi, p_lo = u_hi[n_uv:], u_lo[n_uv:]
+        bm_hi = _global_uv_to_elem(b_hi[:n_uv], n, nu)
+        bm_lo = _global_uv_to_elem(b_lo[:n_uv], n, nu)
+
+        state = _init_state(bm_hi, bm_lo, n, self.A.br)
+        state = self.A.accumulate(state, uv_hi, uv_lo, sign=-1.0)
+        state = self.G.accumulate(state, p_hi, p_lo, sign=-1.0)
+        rm_hi, rm_lo = _finalize_state(state, n * self.A.br)
+
+        state = _init_state(b_hi[n_uv:], b_lo[n_uv:], n, self.D.br)
+        state = self.D.accumulate(state, uv_hi, uv_lo, sign=-1.0)
+        rc_hi, rc_lo = _finalize_state(state, n * self.D.br)
+        if self.pin:
+            s, err = two_sum(rc_hi[0], -p_hi[0])
+            rc_hi = rc_hi.at[0].set(s)
+            rc_lo = rc_lo.at[0].add(err - p_lo[0])
+
+        return (jnp.concatenate([_elem_uv_to_global(rm_hi, n, nu), rc_hi]),
+                jnp.concatenate([_elem_uv_to_global(rm_lo, n, nu), rc_lo]))
+
+
+def make_df32_residual(op64):
+    """Residual builder for the operators the refinement loop sees.
+
+    Returns ``fn(b_hi, b_lo, u_hi, u_lo) -> (r_hi, r_lo)`` (a registered
+    pytree, safe to pass as a jit argument), or raises TypeError for
+    operator types without a df32 path (dense/AMG coarse operators).
+    """
+    from dgtpu.models.stokes import StokesGlobalOperator
+    from dgtpu.ops.stencil import StencilOperator
+    if isinstance(op64, StokesGlobalOperator):
+        return DF32StokesResidual(DF32Stencil.from_operator(op64.A),
+                                  DF32Stencil.from_operator(op64.D),
+                                  DF32Stencil.from_operator(op64.G),
+                                  op64.pin)
+    if isinstance(op64, StencilOperator):
+        return DF32PoissonResidual(DF32Stencil.from_operator(op64))
+    raise TypeError(f"no df32 residual for {type(op64).__name__}")

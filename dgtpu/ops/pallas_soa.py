@@ -52,11 +52,16 @@ def _packed_pos(j, i):
 
 
 def _mac(blk, f):
-    """sum_b blk[b] * f[b] for blk (B_src, B_dst, C) (array or ref), f (B_src, C)."""
+    """sum_b blk[b] * f[b] for blk (B_src, B_dst, C) (array or ref), f (B_src, C).
+
+    Accumulates in f's dtype: bf16-stored operator blocks (the streamed
+    sweep operand's ``block_storage='bfloat16'`` mode) are upconverted
+    in-register per slice, never materialized wide in VMEM.
+    """
     B = f.shape[0]
     acc = None
     for b in range(B):
-        term = blk[b] * f[b]
+        term = blk[b].astype(f.dtype) * f[b]
         acc = term if acc is None else acc + term
     return acc
 

@@ -42,7 +42,7 @@ class StreamedStokesLevel:
     """
 
     def __init__(self, level, dtype=jnp.float32, interpret=False,
-                 chunk_lanes=512, align=128, n_pass=2):
+                 chunk_lanes=512, align=128, n_pass=2, block_storage=None):
         from dgtpu.ops import rolled
         from dgtpu.ops.linalg import host_inv
         from dgtpu.parallel.stokes_halo import _dg_diag_blocks
@@ -56,7 +56,12 @@ class StreamedStokesLevel:
         self.dtype = dtype
         kw = dict(dtype=dtype, interpret=interpret,
                   chunk_lanes=chunk_lanes, align=align)
-        self.A_s = StreamedLevel(level.block_A, self.nj, self.ni, **kw)
+        # the velocity block-GS runs in defect form (its rhs is the f32
+        # momentum residual, which vanishes at the smoother's fixed point),
+        # so bf16 sweep-block storage cannot shift what the sweep converges
+        # toward — only the A sweeps narrow; G/D matvecs stay f32
+        self.A_s = StreamedLevel(level.block_A, self.nj, self.ni,
+                                 block_storage=block_storage, **kw)
         self.G_s = StreamedLevel(level.block_G, self.nj, self.ni, **kw)
         self.D_s = StreamedLevel(level.block_D, self.nj, self.ni, **kw)
 
@@ -130,7 +135,11 @@ class StreamedStokesVCycle:
 
     def __init__(self, levels, transfers, types, settings, dtype=jnp.float32,
                  interpret=False, vmem_budget=96 * 1024 * 1024,
-                 chunk_lanes=512, align=128, n_pass=2):
+                 chunk_lanes=512, align=128, n_pass=2, block_storage=None):
+        if block_storage is None:
+            block_storage = str(getattr(getattr(settings, "performance", None),
+                                        "block_storage", "float32"))
+        self.block_storage = block_storage
         self.dtype = dtype
         self.n_lev = len(levels)
         self.transfers = transfers
@@ -159,7 +168,8 @@ class StreamedStokesVCycle:
         for k in range(cut, self.n_lev):
             self.streams[k] = StreamedStokesLevel(
                 levels[k], dtype=dtype, interpret=interpret,
-                chunk_lanes=chunk_lanes, align=align, n_pass=n_pass)
+                chunk_lanes=chunk_lanes, align=align, n_pass=n_pass,
+                block_storage=block_storage)
 
         # smoother config: structurally DGS (same validation as the fused
         # cycle), iteration counts per coarsening type

@@ -55,15 +55,26 @@ def _pick_chunk(C, nh, target_lanes=512, align=128):
 class StreamedLevel:
     """Streamed smoother/matvec/residual for one stencil in the SoA layout.
 
-    Host-side state: ``A_all`` (2, S, B_src, B_dst, C) per-color stencil
-    slots 0..4, plus the diagonal inverse in slot 5 when the blocks are
-    square (S=6) — ONE streamed operand so a half-sweep reads each byte
-    exactly once.  Rectangular stencils (the Stokes G/D components) carry
-    no diagonal inverse and only support ``matvec``.
+    Host-side state, two 5-slot operands so every streamed byte is used:
+
+    * ``A_res``  (2, 5, B_src, B_dst, C): [diag, iL, iR, jL, jR] — the
+      residual/matvec operand.
+    * ``A_sweep`` (2, 5, B, B, C): [Dinv, iL, iR, jL, jR] — the half-sweep
+      operand (square blocks only).  With ``block_storage='bfloat16'`` it
+      is stored in bf16 and upconverted in-register per MAC: the smoother
+      is a preconditioner, so narrowing its blocks perturbs the iteration
+      but leaves residuals/transfers (and hence what the cycle converges
+      toward) in full f32 — and cuts the sweep-dominated HBM traffic ~40%
+      (bf16 tiles pad (36->48) sublanes vs f32's (36->40), so the byte
+      ratio is 0.6, not 0.5).
+
+    Rectangular stencils (the Stokes G/D components) carry no sweep
+    operand and only support ``matvec``.
     """
 
     def __init__(self, op, nj, ni, dtype=jnp.float32, interpret=False,
-                 chunk_lanes=512, align=128, with_dinv=None):
+                 chunk_lanes=512, align=128, with_dinv=None,
+                 block_storage=None):
         from dgtpu.ops.linalg import host_inv
         if ni % 2:
             raise ValueError("StreamedLevel needs an even Ni")
@@ -97,7 +108,15 @@ class StreamedLevel:
                 d = np.asarray(pair_d[c])                  # (nj, nh, a, b)
                 A_all[c, 5] = (np.transpose(d, (3, 2, 0, 1))
                                .reshape(br, br, C))
-        self.A_all = jnp.asarray(A_all.astype(np.dtype(dtype)))
+        self.A_res = jnp.asarray(A_all[:, :5].astype(np.dtype(dtype)))
+        if with_dinv:
+            sweep = np.concatenate([A_all[:, 5:6], A_all[:, 1:5]], axis=1)
+            self.A_sweep = jnp.asarray(sweep.astype(np.dtype(dtype)))
+            if (block_storage in ("bfloat16", "bf16")
+                    and dtype == jnp.float32):
+                self.A_sweep = self.A_sweep.astype(jnp.bfloat16)
+        else:
+            self.A_sweep = None
         lanes_j = np.repeat(np.arange(nj), nh)
         lanes_ip = np.tile(np.arange(nh), nj)
         m = np.stack([lanes_j % 2 == 0, lanes_ip == 0, lanes_ip == nh - 1])
@@ -114,7 +133,9 @@ class StreamedLevel:
             ((nh + align - 1) // align) * align
 
     def to_device(self, device):
-        self.A_all = jax.device_put(self.A_all, device)
+        self.A_res = jax.device_put(self.A_res, device)
+        if self.A_sweep is not None:
+            self.A_sweep = jax.device_put(self.A_sweep, device)
         self.masks = jax.device_put(self.masks, device)
         return self
 
@@ -198,10 +219,12 @@ class StreamedLevel:
             fields = self._chunk_fields(state_ref, jnp.int32(1) - c,
                                         start, mask_chunk)
             iL, iR, jL, jR = self._fields_for_color(c == 0, *fields)
+            # sweep-operand slot order [Dinv, iL, iR, jL, jR]; _mac
+            # upconverts bf16-stored blocks to the f32 state in-register
             off = (_mac(A_ref[0, 1], iL) + _mac(A_ref[0, 2], iR)
                    + _mac(A_ref[0, 3], jL) + _mac(A_ref[0, 4], jR))
             rhs_c = rhs_ref[c, :, pl.dslice(start, Lc)]
-            unew = _mac(A_ref[0, 5], rhs_c - off)
+            unew = _mac(A_ref[0, 0], rhs_c - off)
             if self.n_chunks == 1:
                 state_ref[c] = unew
             else:
@@ -216,7 +239,7 @@ class StreamedLevel:
                 vfull,                                     # rhs (2, B, C)
                 vfull,                                     # u0 padded
                 vfull,                                     # masks (3, 1, C)
-                pl.BlockSpec((1, 6, B, B, Lc),
+                pl.BlockSpec((1, 5, B, B, Lc),
                              lambda h, c, i: (c, 0, 0, 0, i)),
             ],
             out_specs=pl.BlockSpec((2, B, C + 2 * self.ph),
@@ -235,9 +258,10 @@ class StreamedLevel:
             # handle.  The f64 interpret/test path keeps x64 on.
             if self.dtype == jnp.float32:
                 with jax.enable_x64(False):
-                    out = call(rhs01, self._pad(u01), self.masks, self.A_all)
+                    out = call(rhs01, self._pad(u01), self.masks,
+                               self.A_sweep)
             else:
-                out = call(rhs01, self._pad(u01), self.masks, self.A_all)
+                out = call(rhs01, self._pad(u01), self.masks, self.A_sweep)
             return out[:, :, self.ph:self.ph + C]
 
         return fn
@@ -247,7 +271,6 @@ class StreamedLevel:
         Bs, Bd = self.B_src, self.B_dst
         C, Lc, nh = self.C, self.Lc, self.nh
         n_chunks = self.n_chunks
-        S = self.A_all.shape[1]
 
         def kernel(rhs_ref, u_ref, mask_ref, A_ref, out_ref):
             c = pl.program_id(0)
@@ -272,7 +295,10 @@ class StreamedLevel:
             grid=(2, n_chunks),
             in_specs=[
                 vfull, vfull, vfull,
-                pl.BlockSpec((1, S, Bs, Bd, Lc),
+                # block covers slots 0..4 only: the diagonal-inverse slot
+                # (S=6 operators) is never read here, so excluding it from
+                # the block shape cuts 1/6 of the streamed traffic free
+                pl.BlockSpec((1, 5, Bs, Bd, Lc),
                              lambda c, i: (c, 0, 0, 0, i)),
             ],
             out_specs=pl.BlockSpec((1, Bd, Lc), lambda c, i: (c, 0, i)),
@@ -286,8 +312,8 @@ class StreamedLevel:
             if self.dtype == jnp.float32:
                 with jax.enable_x64(False):
                     return call(rhs01, self._pad(u01), self.masks,
-                                self.A_all)
-            return call(rhs01, self._pad(u01), self.masks, self.A_all)
+                                self.A_res)
+            return call(rhs01, self._pad(u01), self.masks, self.A_res)
 
         return fn
 
@@ -301,7 +327,6 @@ class StreamedLevel:
         Bs, Bd = self.B_src, self.B_dst
         C, Lc, nh = self.C, self.Lc, self.nh
         n_chunks = self.n_chunks
-        S = self.A_all.shape[1]
 
         def kernel(x_ref, mask_ref, A_ref, out_ref):
             c = pl.program_id(0)
@@ -326,7 +351,8 @@ class StreamedLevel:
             grid=(2, n_chunks),
             in_specs=[
                 vfull, vfull,
-                pl.BlockSpec((1, S, Bs, Bd, Lc),
+                # slots 0..4 only (see residual): skip the Dinv slot's DMA
+                pl.BlockSpec((1, 5, Bs, Bd, Lc),
                              lambda c, i: (c, 0, 0, 0, i)),
             ],
             out_specs=pl.BlockSpec((1, Bd, Lc), lambda c, i: (c, 0, i)),
@@ -339,8 +365,8 @@ class StreamedLevel:
         def fn(x01):
             if self.dtype == jnp.float32:
                 with jax.enable_x64(False):
-                    return call(self._pad(x01), self.masks, self.A_all)
-            return call(self._pad(x01), self.masks, self.A_all)
+                    return call(self._pad(x01), self.masks, self.A_res)
+            return call(self._pad(x01), self.masks, self.A_res)
 
         return fn
 
@@ -372,8 +398,13 @@ class StreamedVCycle:
 
     def __init__(self, ops, transfers, types, settings, dims,
                  dtype=jnp.float32, interpret=False,
-                 vmem_budget=96 * 1024 * 1024, chunk_lanes=512):
+                 vmem_budget=96 * 1024 * 1024, chunk_lanes=512,
+                 block_storage=None):
         from dgtpu.ops.pallas_soa import SoAVCycle
+        if block_storage is None:
+            block_storage = str(getattr(getattr(settings, "performance", None),
+                                        "block_storage", "float32"))
+        self.block_storage = block_storage
         self.dtype = dtype
         self.dims = list(dims)
         self.transfers = transfers
@@ -406,7 +437,8 @@ class StreamedVCycle:
             nj, ni = dims[k]
             self.streams[k] = StreamedLevel(ops[k], nj, ni, dtype=dtype,
                                             interpret=interpret,
-                                            chunk_lanes=chunk_lanes)
+                                            chunk_lanes=chunk_lanes,
+                                            block_storage=block_storage)
         self._cfg = {}
         for t in set(types):
             node = getattr(settings.solver.multigrid, f"{t}_coarsening")
@@ -465,7 +497,24 @@ class StreamedVCycle:
                              s.residual())
         return self._kern[k]
 
-    def _cycle(self, k, rhs, u):
+    def _smooth(self, fn, res_fn, r01, u01, zero_guess):
+        """Apply a streamed smoother kernel.
+
+        f32 storage: direct form (``fn(r01, u01)``, bit-identical to the
+        fused kernel).  bf16 storage: DEFECT form — the narrowed blocks
+        only ever see the f32 residual, so the smoother's fixed point (and
+        hence what the cycle converges toward) is untouched; direct-form
+        bf16 measurably stalls the cycle near kappa * 2^-8 relative
+        (tests/test_block_storage.py pins the defect form at the f32
+        contraction rate).  ``zero_guess`` skips the residual stream when
+        the incoming iterate is identically zero (coarse first visits).
+        """
+        if self.block_storage not in ("bfloat16", "bf16"):
+            return fn(r01, u01)
+        d01 = r01 if zero_guess else res_fn(r01, u01)
+        return u01 + fn(d01, jnp.zeros_like(u01))
+
+    def _cycle(self, k, rhs, u, zero_guess=False):
         """rhs/u: (Nj, Ni, B) rolled layout at streamed levels."""
         if k < self.cut:
             flat = rhs.reshape(-1)
@@ -477,11 +526,11 @@ class StreamedVCycle:
         pre_fn, post_fn, res_fn = self._level_kernels(k)
         r01 = _vec_to_soa2(rhs.reshape(-1), nj, ni, B)
         u01 = _vec_to_soa2(u.reshape(-1), nj, ni, B)
-        u01 = pre_fn(r01, u01)
+        u01 = self._smooth(pre_fn, res_fn, r01, u01, zero_guess)
         res01 = res_fn(r01, u01)
         r_roll = _soa2_to_vec(res01, nj, ni, B).reshape(nj, ni, B)
         r_c = self._restrict(k - 1, r_roll)
-        e_c = self._cycle(k - 1, r_c, jnp.zeros_like(r_c))
+        e_c = self._cycle(k - 1, r_c, jnp.zeros_like(r_c), zero_guess=True)
         if self.cycle_type == "W" and k - 1 > 0:
             # revisit the coarse level; at the fused-subtree boundary
             # (k - 1 < cut) this re-invokes the whole fused sub-cycle with
@@ -491,7 +540,7 @@ class StreamedVCycle:
             e_c = self._cycle(k - 1, r_c, e_c)
         corr = self._prolong(k - 1, e_c)
         u01 = u01 + _vec_to_soa2(corr.reshape(-1), nj, ni, B)
-        u01 = post_fn(r01, u01)
+        u01 = self._smooth(post_fn, res_fn, r01, u01, zero_guess=False)
         return _soa2_to_vec(u01, nj, ni, B).reshape(nj, ni, B)
 
     def build(self):

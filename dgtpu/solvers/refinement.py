@@ -3,13 +3,24 @@
 TPU f64 is software-emulated; the BASELINE parity target is a 1e-10
 residual.  Classic defect correction bridges the gap:
 
-    loop:  r = b - A u            (float64, one emulated matvec per outer step)
+    loop:  r = b - A u            (high precision, ONE matvec per outer step)
            e ~ A^-1 r             (k float32 V-cycles — the fast path)
-           u = u + e              (float64 accumulation)
+           u = u + e              (high-precision accumulation)
 
 The f32 inner solve only needs to reduce the defect by ~1e-6 per outer
 iteration, so the outer loop reaches 1e-10..1e-14 in a handful of rounds
 while >95% of the work runs in native-speed float32.
+
+Two defect backends:
+
+* ``defect='f64'`` — the residual runs in (emulated) float64, exactly the
+  reference's arithmetic (``solver.py:114-123`` runs native f64 NumPy).
+* ``defect='df32'`` (default via ``'auto'``) — the residual runs as a
+  compensated double-single f32 evaluation (``ops/df32.py``): identical
+  48-bit-accurate defects with NO emulated-f64 operator work, removing
+  what measurement shows is ~90% of the refined-solve time on TPU.  The
+  iterate is carried as an (hi, lo) f32 pair; only the final answer is
+  widened back to f64.
 """
 
 import jax
@@ -18,19 +29,37 @@ import jax.numpy as jnp
 from dgtpu.utils.norms import lp_norm
 
 
-def make_refined_solver(op64, cycle32, n_inner=8, tol=1e-10, max_outer=20):
+def make_refined_solver(op64, cycle32, n_inner=8, tol=1e-10, max_outer=20,
+                        defect="auto"):
     """Build a jitted mixed-precision solver.
 
     ``op64``: the float64 operator (matvec).  ``cycle32(rhs32, u32)``: one
-    float32 V-cycle.  Returns solve(rhs64, u0) -> (u, res, n_outer, history).
+    float32 V-cycle.  ``defect``: 'f64', 'df32', or 'auto' (df32 when the
+    operator type has a compensated path, f64 otherwise).
+    Returns solve(rhs64, u0) -> (u, res, n_outer, history).
     """
+    if defect not in ("auto", "df32", "f64"):
+        raise ValueError(defect)
+    if defect in ("auto", "df32"):
+        from dgtpu.ops.df32 import make_df32_residual
+        try:
+            df = make_df32_residual(op64)
+        except TypeError:
+            if defect == "df32":
+                raise
+        else:
+            return _make_df32_solver(df, cycle32, n_inner, tol, max_outer)
+    return _make_f64_solver(op64, cycle32, n_inner, tol, max_outer)
 
-    def inner_solve(r32):
-        e = jnp.zeros_like(r32)
-        for _ in range(n_inner):
-            e = cycle32(r32, e)
-        return e
 
+def _inner(cycle32, n_inner, r32):
+    e = jnp.zeros_like(r32)
+    for _ in range(n_inner):
+        e = cycle32(r32, e)
+    return e
+
+
+def _make_f64_solver(op64, cycle32, n_inner, tol, max_outer):
     # op64 is passed as a jit ARGUMENT (it is a registered pytree), not
     # captured by closure: closure-captured arrays become HLO literals, and
     # the emulated-f64 operator blocks are by far the largest array in the
@@ -38,29 +67,76 @@ def make_refined_solver(op64, cycle32, n_inner=8, tol=1e-10, max_outer=20):
     # limits on remote-compile setups)
     @jax.jit
     def solve_with_op(op64, rhs, u0):
-        res0 = lp_norm(rhs - op64.matvec(u0), 2)
+        r0 = rhs - op64.matvec(u0)
+        res0 = lp_norm(r0, 2)
         hist0 = jnp.full((max_outer + 1,), jnp.nan, dtype=rhs.dtype)
 
         def cond(state):
-            n, u, res, hist = state
+            n, u, r, res, hist = state
             return (n < max_outer) & (res >= tol) & jnp.isfinite(res)
 
         def body(state):
-            n, u, res, hist = state
+            n, u, r, res, hist = state
             hist = hist.at[n].set(res)
-            r = rhs - op64.matvec(u)
-            e32 = inner_solve(r.astype(jnp.float32))
+            e32 = _inner(cycle32, n_inner, r.astype(jnp.float32))
             u = u + e32.astype(rhs.dtype)
-            res = lp_norm(rhs - op64.matvec(u), 2) / res0
-            return n + 1, u, res, hist
+            r = rhs - op64.matvec(u)
+            res = lp_norm(r, 2) / res0
+            return n + 1, u, r, res, hist
 
-        state = (jnp.asarray(0, dtype=jnp.int32), u0,
+        state = (jnp.asarray(0, dtype=jnp.int32), u0, r0,
                  jnp.asarray(1.0, dtype=rhs.dtype), hist0)
-        n, u, res, hist = jax.lax.while_loop(cond, body, state)
+        n, u, r, res, hist = jax.lax.while_loop(cond, body, state)
         hist = hist.at[n].set(res)
         return u, res, n, hist
 
     def solve(rhs, u0):
         return solve_with_op(op64, rhs, u0)
+
+    return solve
+
+
+def _make_df32_solver(df, cycle32, n_inner, tol, max_outer):
+    from dgtpu.ops.df32 import (pair_add_f32, pair_norm2, pair_to_f64,
+                                split_f64)
+
+    tol32 = jnp.float32(tol)
+
+    @jax.jit
+    def solve_with_df(df, b_hi, b_lo, u_hi, u_lo):
+        r_hi, r_lo = df(b_hi, b_lo, u_hi, u_lo)
+        res0 = pair_norm2(r_hi, r_lo)
+        hist0 = jnp.full((max_outer + 1,), jnp.nan, dtype=jnp.float32)
+
+        def cond(state):
+            n, u_hi, u_lo, r_hi, r_lo, res, hist = state
+            return (n < max_outer) & (res >= tol32) & jnp.isfinite(res)
+
+        def body(state):
+            n, u_hi, u_lo, r_hi, r_lo, res, hist = state
+            hist = hist.at[n].set(res)
+            # cast: an f64 inner cycle (the CPU interpret stand-in used in
+            # tests) must not widen the f32 pair state
+            e32 = _inner(cycle32, n_inner, r_hi).astype(jnp.float32)
+            u_hi, u_lo = pair_add_f32(u_hi, u_lo, e32)
+            r_hi, r_lo = df(b_hi, b_lo, u_hi, u_lo)
+            res = pair_norm2(r_hi, r_lo) / res0
+            return n + 1, u_hi, u_lo, r_hi, r_lo, res, hist
+
+        state = (jnp.asarray(0, dtype=jnp.int32), u_hi, u_lo, r_hi, r_lo,
+                 jnp.asarray(1.0, dtype=jnp.float32), hist0)
+        n, u_hi, u_lo, r_hi, r_lo, res, hist = \
+            jax.lax.while_loop(cond, body, state)
+        hist = hist.at[n].set(res)
+        return u_hi, u_lo, res, n, hist
+
+    def solve(rhs, u0):
+        b_hi, b_lo = split_f64(rhs)
+        u_hi, u_lo = split_f64(u0)
+        u_hi, u_lo, res, n, hist = solve_with_df(df, b_hi, b_lo, u_hi, u_lo)
+        u = pair_to_f64(u_hi, u_lo)
+        if jnp.asarray(rhs).dtype != jnp.float64:
+            u = u.astype(jnp.asarray(rhs).dtype)
+        return u, res, n, hist
 
     return solve
