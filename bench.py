@@ -404,6 +404,33 @@ def stokes_streamed_metric(reps=50, n=32):
     ms, _ = time_per_iter(many, rhs, u0, reps)
     out["v_cycle_ms"] = round(ms, 4)
 
+    # bf16 sweep-storage variant of the velocity block-GS (defect form)
+    try:
+        with setup_scope():
+            hv16 = StreamedStokesVCycle(dg.levels, dg.transfers,
+                                        dg.transfer_types, dg.settings,
+                                        dtype=jnp.float32,
+                                        block_storage="bfloat16")
+        hv16.to_device(target)
+        one16 = hv16.build()
+        u = u0
+        for _ in range(5):
+            u = one16(rhs, u)
+        r5b = float(jnp.linalg.norm(rhs - op.matvec(u))
+                    / jnp.linalg.norm(rhs))
+        out["bf16_residual_after_5_cycles"] = r5b
+        if r5b < 1e-2:
+            @jax.jit
+            def many16(rhs, u, k):
+                def body(_, u):
+                    return one16(rhs, u)
+                return jax.lax.fori_loop(0, k, body, u)
+            ms16, _ = time_per_iter(many16, rhs, u0, reps)
+            out["v_cycle_ms_bf16"] = round(ms16, 4)
+    except Exception as e:  # pragma: no cover
+        print(f"# stokes streamed bf16 failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
     refined = make_refined_solver(op, one, n_inner=6, tol=1e-10)
     u_r, res_r, n_r, _ = jax.block_until_ready(
         refined(rhs64, jnp.zeros_like(rhs64)))
@@ -513,6 +540,7 @@ def measure_flagship(args, grid_n, gate=True, refine=True):
     rolled_fn = None
     soa_fn = None
     stream_fn = None
+    stream_bf16_fn = None
     if args.dtype == "float32":
         try:
             from dgtpu.ops.pallas_vcycle import PallasVCycle
@@ -563,23 +591,30 @@ def measure_flagship(args, grid_n, gate=True, refine=True):
                 soa_fn = (soa_one, soa_many)
             # beyond full VMEM residency: streamed-smoother hybrid (blocks
             # streamed through a sequential pallas grid, vectors resident,
-            # coarse subtree as one fused kernel)
+            # coarse subtree as one fused kernel) — plus its bf16
+            # sweep-storage variant (defect-form smoothing, ~40% less
+            # sweep traffic; see ops/pallas_stream.StreamedLevel)
             if (jax.default_backend() == "tpu" and not args.no_pallas
                     and grid_n > args.soa_max_n):
                 from dgtpu.ops.pallas_stream import StreamedVCycle
-                with setup_scope():
-                    hv = StreamedVCycle([l.op for l in dg.levels],
-                                        dg.transfers, dg.transfer_types,
-                                        dg.settings, dims, dtype=dtype)
-                hv.to_device(target)
-                stream_one = hv.build()
 
-                @jax.jit
-                def stream_many(rhs, u, n):
-                    def body(_, u):
-                        return stream_one(rhs, u)
-                    return jax.lax.fori_loop(0, n, body, u)
-                stream_fn = (stream_one, stream_many)
+                def make_stream(block_storage):
+                    with setup_scope():
+                        hv = StreamedVCycle([l.op for l in dg.levels],
+                                            dg.transfers, dg.transfer_types,
+                                            dg.settings, dims, dtype=dtype,
+                                            block_storage=block_storage)
+                    hv.to_device(target)
+                    one = hv.build()
+
+                    @jax.jit
+                    def many(rhs, u, n):
+                        def body(_, u):
+                            return one(rhs, u)
+                        return jax.lax.fori_loop(0, n, body, u)
+                    return one, many
+                stream_fn = make_stream("float32")
+                stream_bf16_fn = make_stream("bfloat16")
         except Exception as e:  # pragma: no cover - report and fall back
             print(f"# fused path unavailable: {type(e).__name__}: {e}",
                   file=sys.stderr)
@@ -683,6 +718,8 @@ def measure_flagship(args, grid_n, gate=True, refine=True):
         try_impl("soa_fused", soa_fn)
     if stream_fn is not None:
         try_impl("streamed", stream_fn)
+    if stream_bf16_fn is not None:
+        try_impl("streamed_bf16", stream_bf16_fn)
 
     # achieved HBM bandwidth vs v5e peak for the best V-cycle (traffic is a
     # lower-bound model, so utilization is a lower bound too)

@@ -77,6 +77,17 @@ def split_f64_np(x):
     return hi, lo
 
 
+def split_triple_np(x):
+    """Host-side f64 -> (hh, hl, lo) f32 triple: hh + hl is the Dekker
+    split of f32(x) (12-bit halves, so products against split vectors are
+    exact), lo the f64 remainder.  The operator-side precompute shared by
+    every df32 matvec layout."""
+    a_hi, a_lo = split_f64_np(x)
+    c = a_hi * _SPLITTER
+    a_hh = c - (c - a_hi)
+    return a_hh, a_hi - a_hh, a_lo
+
+
 def pair_to_f64(hi, lo):
     return hi.astype(jnp.float64) + lo.astype(jnp.float64)
 
@@ -97,6 +108,34 @@ def pair_norm2(hi, lo, normalized=True):
     v = hi + lo
     n = jnp.asarray(v.size, jnp.float32) if normalized else 1.0
     return jnp.sqrt(jnp.sum(v * v) / n)
+
+
+def accumulate_step(state, a_hh, a_hl, a_lo, v_hh, v_hl, v_hi, v_lo):
+    """One compensated MAC step: fold block slices times (broadcastable)
+    source values into the (s, e, e3) accumulator.
+
+    (s, e) is a renormalized double-single pair — each exact product is
+    folded in with a two-sum and the pair re-normalized (the classic df64
+    add), so the pair's own rounding floor stays at ~2^-48 |s| per step;
+    e3 is a plain f32 bucket for the 2^-24-scale cross terms.  two_sum
+    (not quick_two_sum) throughout: under the heavy cancellation a
+    residual evaluation exists for, |s| can drop below the carried error,
+    violating quick_two_sum's |a| >= |b| precondition.
+    """
+    s, e, e3 = state
+
+    def fold(s, e, p):
+        s, r = two_sum(s, p)
+        return two_sum(s, e + r)
+
+    p1 = a_hh * v_hh                             # exact (12+12 bit)
+    p2a = a_hh * v_hl                            # exact
+    p2b = a_hl * v_hh                            # exact
+    p3 = a_hl * v_hl + (a_lo * v_hi + a_hh * v_lo)
+    s, e = fold(s, e, p1)
+    s, e = fold(s, e, p2a)
+    s, e = fold(s, e, p2b)
+    return s, e, e3 + p3
 
 
 # -- compensated stencil residual --------------------------------------------
@@ -134,10 +173,7 @@ class DF32Stencil:
         blocks = np.asarray(op64.blocks, np.float64)
         blocks = np.where(np.asarray(op64.mask)[:, :, None, None], blocks, 0.0)
         n, s, br, bc = blocks.shape
-        a_hi, a_lo = split_f64_np(blocks)
-        c = a_hi * _SPLITTER
-        a_hh = c - (c - a_hi)
-        a_hl = a_hi - a_hh
+        a_hh, a_hl, a_lo = split_triple_np(blocks)
         # (N, 5, Br, Bc) -> (5, Bc, N, Br) -> (K, N, Br)
         def fold(a):
             return jnp.asarray(np.ascontiguousarray(
@@ -162,43 +198,16 @@ class DF32Stencil:
         return fold(u_hh), fold(u_hl), fold(u_hi), fold(u_lo)
 
     def accumulate(self, state, u_hi, u_lo, sign=-1.0):
-        """Fold ``sign * A @ u`` into the compensated accumulator ``state``.
-
-        state = (s, e, e3), each (N, Br): (s, e) is a renormalized
-        double-single pair — each exact product is folded in with a
-        two-sum and the pair re-normalized (the classic df64 add), so the
-        pair's own rounding floor stays at ~2^-48 |s| per step.  e3 is a
-        plain f32 bucket for the 2^-24-scale cross terms, whose round-off
-        lands near 2^-48 and is immaterial.
-        """
+        """Fold ``sign * A @ u`` into the compensated accumulator ``state``
+        ((s, e, e3) of (N, Br) each — see ``accumulate_step``)."""
         g_hh, g_hl, g_hi, g_lo = self._gathered(u_hi, u_lo)
         sign = jnp.float32(sign)
 
-        def fold(s, e, p):
-            # two_sum (not quick_two_sum) both times: under the heavy
-            # cancellation a residual evaluation exists for, |s| can drop
-            # below the carried error, violating quick_two_sum's |a|>=|b|
-            # precondition; two_sum is exact for any magnitudes
-            s, r = two_sum(s, p)
-            return two_sum(s, e + r)
-
         def body(k, state):
-            s, e, e3 = state
-            a_hh = self.A_hh[k] * sign                   # (N, Br)
-            a_hl = self.A_hl[k] * sign
-            a_lo = self.A_lo[k] * sign
-            v_hh = g_hh[k][:, None]                      # (N, 1)
-            v_hl = g_hl[k][:, None]
-            v_hi = g_hi[k][:, None]
-            v_lo = g_lo[k][:, None]
-            p1 = a_hh * v_hh                             # exact (12+12 bit)
-            p2a = a_hh * v_hl                            # exact
-            p2b = a_hl * v_hh                            # exact
-            p3 = a_hl * v_hl + (a_lo * v_hi + a_hh * v_lo)
-            s, e = fold(s, e, p1)
-            s, e = fold(s, e, p2a)
-            s, e = fold(s, e, p2b)
-            return s, e, e3 + p3
+            return accumulate_step(
+                state, self.A_hh[k] * sign, self.A_hl[k] * sign,
+                self.A_lo[k] * sign, g_hh[k][:, None], g_hl[k][:, None],
+                g_hi[k][:, None], g_lo[k][:, None])
 
         return jax.lax.fori_loop(0, self.A_hh.shape[0], body, state)
 

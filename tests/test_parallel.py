@@ -478,6 +478,13 @@ def test_sharded_mixed_precision_refinement(base_settings):
     mg = ShardedMultigrid([coarse, lvl], [t], base_settings, mesh=make_mesh(8))
     u, res, n = mg.solve_refined(rhs, tol=1e-10)
     assert res < 1e-10, res
+    # both defect backends (compensated df32 default vs emulated f64)
+    # agree: same solution to ~1e-10 and comparable outer counts
+    u64, res64, n64 = mg.solve_refined(rhs, tol=1e-10, defect="f64")
+    assert res64 < 1e-10, res64
+    assert abs(int(n) - int(n64)) <= 1
+    scale = np.abs(np.asarray(u64)).max()
+    assert np.abs(np.asarray(u) - np.asarray(u64)).max() < 1e-9 * scale
     # true f64 residual of the returned vector
     r = np.asarray(rhs) - np.asarray(lvl.op.matvec(jnp.asarray(u)))
     assert np.linalg.norm(r) / np.linalg.norm(np.asarray(rhs)) < 1e-10
