@@ -389,6 +389,17 @@ class DGFEM:
         on_tpu = jax.default_backend() == "tpu"
         dims = [(l.Nj, l.Ni) for l in self.levels]
         stokes = self.levels[-1].block_A is not None
+        # none of the fused/streamed f32 cycles (nor the rolled fallback)
+        # implement the FVM coarse-level transfers; detect before any
+        # builder runs so the caller's NotImplementedError handler routes
+        # to the full-precision path instead of crashing at call time
+        unsupported = ({t.kind for t in self.transfers}
+                       - {"penalty", "polynomial", "geometric"})
+        if unsupported:
+            raise NotImplementedError(
+                "mixed precision: the fused f32 cycles do not support "
+                f"transfer kind(s) {sorted(unsupported)} (FVM coarse "
+                "level); running full precision")
         # past fused-kernel VMEM residency the streamed hybrid (TPU) or the
         # rolled XLA cycle (CPU) takes over; the footprint estimate is the
         # fused builders' own (pallas_soa/pallas_stokes), so this routing
@@ -397,12 +408,11 @@ class DGFEM:
         if stokes:
             from dgtpu.ops.pallas_stokes import SoAStokesVCycle as _SV
             fused_bytes = _SV.estimated_vmem_bytes(
-                self.levels, self.transfers, self.transfer_types)
+                self.levels, self.transfers)
         else:
             from dgtpu.ops.pallas_soa import SoAVCycle as _SV
             fused_bytes = _SV.estimated_vmem_bytes(
-                [l.op for l in self.levels], dims, self.transfers,
-                self.transfer_types)
+                [l.op for l in self.levels], dims, self.transfers)
         big = fused_bytes > budget
         cyc = None
         with setup_scope():

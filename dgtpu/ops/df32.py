@@ -37,6 +37,14 @@ import jax.numpy as jnp
 _SPLITTER = np.float32(4097.0)      # 2^12 + 1: Dekker splitter for f32
 
 
+class DF32Unsupported(TypeError):
+    """No compensated-residual path exists for this operator type.
+
+    A dedicated subclass so callers with a fallback (refinement's
+    ``defect='auto'``) can distinguish the intended "use the f64 defect"
+    signal from a genuine TypeError bug inside the df32 builders."""
+
+
 # -- pair primitives (all plain f32 ops; correctness relies on IEEE
 #    round-to-nearest of each individual add/sub/mul, which XLA preserves —
 #    no fast-math reassociation) ---------------------------------------------
@@ -325,4 +333,4 @@ def make_df32_residual(op64):
                                   op64.pin)
     if isinstance(op64, StencilOperator):
         return DF32PoissonResidual(DF32Stencil.from_operator(op64))
-    raise TypeError(f"no df32 residual for {type(op64).__name__}")
+    raise DF32Unsupported(f"no df32 residual for {type(op64).__name__}")

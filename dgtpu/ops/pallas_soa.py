@@ -139,7 +139,7 @@ class SoAVCycle(PallasVCycle):
         return 4 * B0 * B0 * _pad8(C0) * _pad128(C0) * jnp.dtype(dtype).itemsize
 
     @classmethod
-    def estimated_vmem_bytes(cls, ops, dims, transfers=(), types=(),
+    def estimated_vmem_bytes(cls, ops, dims, transfers=(),
                              dtype=jnp.float32, with_coarse=True):
         """Padded VMEM footprint of the whole fused hierarchy.
 

@@ -178,7 +178,7 @@ class SoAStokesVCycle:
     # -- VMEM budget (single source of truth with the builder) ----------------
 
     @classmethod
-    def estimated_vmem_bytes(cls, levels, transfers=(), types=(),
+    def estimated_vmem_bytes(cls, levels, transfers=(),
                              dtype=jnp.float32, with_coarse=True):
         """Padded VMEM footprint of the fused Stokes hierarchy.
 

@@ -81,6 +81,10 @@ class StreamedStokesLevel:
         self._mvA = self.A_s.matvec()
         self._mvG = self.G_s.matvec()
         self._mvD = self.D_s.matvec()
+        # color-restricted D matvecs for the pressure DG passes: each
+        # half-pass updates one color's rows only, so streaming the other
+        # color's D blocks would be pure waste (half the D traffic)
+        self._mvD_c = (self.D_s.matvec_color(0), self.D_s.matvec_color(1))
         self._bgsA = self.A_s.half_sweeps(2 * n_pass)
 
     def to_device(self, device):
@@ -99,8 +103,8 @@ class StreamedStokesLevel:
         for _ in range(self.n_pass):
             for c in (0, 1):
                 g01 = self._mvG(p01)
-                d01 = self._mvD(g01)
-                off = d01[c] - _mac(dgd[c], p01[c])
+                d_c = self._mvD_c[c](g01)     # only color c's D rows/blocks
+                off = d_c - _mac(dgd[c], p01[c])
                 pn = _mac(dgi[c], rhs01[c] - off)
                 p01 = p01.at[c].set(pn)
         return p01
@@ -153,7 +157,7 @@ class StreamedStokesVCycle:
         cut = 0
         for k in range(1, self.n_lev):      # always stream the finest level
             est = SoAStokesVCycle.estimated_vmem_bytes(
-                levels[:k], transfers[:k - 1], types[:k - 1], dtype=dtype)
+                levels[:k], transfers[:k - 1], dtype=dtype)
             if est > vmem_budget:
                 break
             cut = k

@@ -370,6 +370,63 @@ class StreamedLevel:
 
         return fn
 
+    def matvec_color(self, color):
+        """Build fn(x01) -> (A @ x01)[color], streaming ONLY that color's
+        blocks — half the operator traffic of ``matvec``.
+
+        For consumers that use a single output color per pass (the
+        composed DG matvec inside the streamed distributive-GS pressure
+        solve applies D to one color's rows per half-pass): the input
+        still carries both color lattices (the stencil's off-diagonal
+        neighbors live on the opposite color), but the other color's
+        blocks are never DMA'd.  ``color`` is static (the BlockSpec
+        index map must select the streamed blocks at trace time).
+        """
+        Bs, Bd = self.B_src, self.B_dst
+        C, Lc = self.C, self.Lc
+        n_chunks = self.n_chunks
+        color = int(color)
+
+        def kernel(x_ref, mask_ref, A_ref, out_ref):
+            i = pl.program_id(0)
+            start = i * jnp.int32(Lc)
+            mask_chunk = mask_ref[:, :, pl.dslice(start, Lc)]
+            fields = self._chunk_fields(x_ref, 1 - color, start, mask_chunk)
+            iL, iR, jL, jR = self._fields_for_color(color == 0, *fields)
+            if self.n_chunks == 1:
+                x_c = x_ref[color]
+            else:
+                x_c = x_ref[color, :,
+                            pl.dslice(jnp.int32(self.ph) + start, Lc)]
+            au = (_mac(A_ref[0, 0], x_c)
+                  + _mac(A_ref[0, 1], iL) + _mac(A_ref[0, 2], iR)
+                  + _mac(A_ref[0, 3], jL) + _mac(A_ref[0, 4], jR))
+            out_ref[...] = au
+
+        vfull = pl.BlockSpec(memory_space=pltpu.VMEM)
+        call = pl.pallas_call(
+            kernel,
+            grid=(n_chunks,),
+            in_specs=[
+                vfull, vfull,
+                pl.BlockSpec((1, 5, Bs, Bd, Lc),
+                             lambda i: (color, 0, 0, 0, i)),
+            ],
+            out_specs=pl.BlockSpec((Bd, Lc), lambda i: (0, i)),
+            out_shape=jax.ShapeDtypeStruct((Bd, C), self.dtype),
+            interpret=self.interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )
+
+        def fn(x01):
+            if self.dtype == jnp.float32:
+                with jax.enable_x64(False):
+                    return call(self._pad(x01), self.masks, self.A_res)
+            return call(self._pad(x01), self.masks, self.A_res)
+
+        return fn
+
 
 def _vec_to_soa2(v, nj, ni, B):
     """(N*B,) -> (2, B, C) stacked color lattices."""
@@ -421,8 +478,7 @@ class StreamedVCycle:
         cut = 0
         for k in range(1, self.n_lev):      # always stream the finest level
             est = SoAVCycle.estimated_vmem_bytes(
-                ops[:k], dims[:k], transfers[:k - 1], types[:k - 1],
-                dtype=dtype)
+                ops[:k], dims[:k], transfers[:k - 1], dtype=dtype)
             if est > vmem_budget:
                 break
             cut = k

@@ -224,10 +224,7 @@ def _pnorm2(x):
 def _pnorm2_pair(hi, lo):
     """Global size-normalized L2 norm of a df32 pair (f32 arithmetic: the
     lo half sits ~2^-24 below hi, far under the norm's own rounding)."""
-    v = hi + lo
-    s = jax.lax.psum(jnp.sum(v * v), AXIS)
-    n = jax.lax.psum(jnp.asarray(v.size, jnp.float32), AXIS)
-    return jnp.sqrt(s / n)
+    return _pnorm2(hi + lo)
 
 
 def _df32_fold_blocks(blocks64):

@@ -179,13 +179,8 @@ def _pnorm_pair(r_mom, r_cont):
     return jnp.sqrt(s / n)
 
 
-def _blockdiag2(M):
-    M = np.asarray(M)
-    a, b = M.shape
-    out = np.zeros((2 * a, 2 * b), M.dtype)
-    out[:a, :b] = M
-    out[a:, b:] = M
-    return out
+from dgtpu.ops.pallas_stokes import _blockdiag2  # noqa: E402 — single
+# definition of the [u; v] interleaved block-diagonal convention
 
 
 class ShardedStokesMultigrid:

@@ -23,6 +23,8 @@ Two defect backends:
   widened back to f64.
 """
 
+import logging
+
 import jax
 import jax.numpy as jnp
 
@@ -41,12 +43,18 @@ def make_refined_solver(op64, cycle32, n_inner=8, tol=1e-10, max_outer=20,
     if defect not in ("auto", "df32", "f64"):
         raise ValueError(defect)
     if defect in ("auto", "df32"):
-        from dgtpu.ops.df32 import make_df32_residual
+        from dgtpu.ops.df32 import DF32Unsupported, make_df32_residual
         try:
             df = make_df32_residual(op64)
-        except TypeError:
+        except DF32Unsupported as e:
+            # only the intended "operator type has no compensated path"
+            # signal — any other error in the df32 builders propagates
+            # instead of silently degrading to the 20-50x emulated-f64
+            # defect
             if defect == "df32":
                 raise
+            logging.getLogger("dgtpu").info(
+                f"df32 defect unavailable ({e}); using the f64 defect")
         else:
             return _make_df32_solver(df, cycle32, n_inner, tol, max_outer)
     return _make_f64_solver(op64, cycle32, n_inner, tol, max_outer)

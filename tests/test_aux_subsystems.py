@@ -265,7 +265,6 @@ def test_vmem_estimate_brackets_builder(base_settings):
     sv = SoAVCycle(ops, dg.transfers, dg.transfer_types, dg.settings,
                    dims, dtype=jnp.float64, interpret=True)
     est = SoAVCycle.estimated_vmem_bytes(ops, dims, dg.transfers,
-                                         dg.transfer_types,
                                          dtype=jnp.float64)
     assert est >= sv.operand_bytes, (est, sv.operand_bytes)
     padded = sv.padded_operand_bytes

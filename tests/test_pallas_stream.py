@@ -57,6 +57,25 @@ def test_streamed_level_matches_soa_smoother(flagship):
     assert float(jnp.abs(res[1] - rr[1]).max()) < 1e-12
 
 
+def test_matvec_color_matches_full_matvec(flagship):
+    """matvec_color(c) == matvec()[c] — the color-restricted kernel used
+    by the streamed Stokes pressure passes (half the D-block traffic)."""
+    dg = flagship
+    lvl = dg.levels[-1]
+    nj, ni = lvl.Nj, lvl.Ni
+    B = lvl.op.blocks.shape[-1]
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal(nj * ni * B))
+    for kw in (dict(), dict(chunk_lanes=8, align=4)):   # single + multi chunk
+        st = StreamedLevel(lvl.op, nj, ni, dtype=jnp.float64,
+                           interpret=True, **kw)
+        x01 = _vec_to_soa2(x, nj, ni, B)
+        full = st.matvec()(x01)
+        for c in (0, 1):
+            only = st.matvec_color(c)(x01)
+            assert float(jnp.abs(only - full[c]).max()) < 1e-13, (kw, c)
+
+
 def test_streamed_vcycle_matches_fused(flagship):
     """Hybrid cycle (streamed top + fused subtree) == fully-fused cycle."""
     dg = flagship

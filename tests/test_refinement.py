@@ -72,6 +72,33 @@ def test_precision_mixed_api_poisson():
     assert np.isclose(mixed.L2_error_u, full.L2_error_u, rtol=1e-6)
 
 
+def test_precision_mixed_fvm_falls_back_to_full():
+    """precision: mixed + an FVM coarse level (transfer kinds the fused f32
+    cycles do not implement) must degrade to the full-precision path and
+    still converge — not crash at the first refined() call (r3 review)."""
+    from dgtpu.api import DGFEM
+    from dgtpu.settings import Settings, load_params
+
+    params = load_params()
+    params["grid"]["filename"] = "Rectangle_8X8_nPoly2.xyz"
+    params["grid"]["polynomial degree"] = 2
+    params["solution"]["u"]["polynomial degree"] = 2
+    mgp = params["solver"]["multigrid"]
+    mgp["polynomial coarsening"]["levels"]["u"] = "1,2"
+    mgp["geometric coarsening"]["enabled"] = True
+    mgp["geometric coarsening"]["use FVM"] = True
+    params["performance"]["precision"] = "mixed"
+    params["visualization"]["export"] = False
+    params["visualization"]["automatically open paraview"] = False
+    params["logging"]["loglevel"] = "ERROR"
+    s = Settings(params)
+    s.solver.method = "multigrid"
+    s.update_setting("solver.discretization", "dg")
+    dg = DGFEM(settings=s, solve_multigrid=True)
+    dg.solve()
+    assert dg.residuals[-1] < 1e-6
+
+
 def test_precision_mixed_api_stokes():
     """Mixed precision on the Stokes saddle system (fused DGS inner cycle)."""
     from dgtpu.api import DGFEM
