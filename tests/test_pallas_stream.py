@@ -141,3 +141,9 @@ def test_streamed_level_ogrid_periodic():
     ref = sv._soa_smooth(k, consts[0][k], (rs[0], rs[1]), (us[0], us[1]), 2)
     assert float(jnp.abs(out[0] - ref[0]).max()) < 1e-13
     assert float(jnp.abs(out[1] - ref[1]).max()) < 1e-13
+
+    # the color-restricted matvec honors the periodic wrap too
+    full = st.matvec()(out)
+    for c in (0, 1):
+        only = st.matvec_color(c)(out)
+        assert float(jnp.abs(only - full[c]).max()) < 1e-13, c
