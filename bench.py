@@ -46,15 +46,8 @@ def _probe_tpu(timeout_s=420):
     in-process wait is not; on timeout or failure the caller falls back
     to the CPU backend so the driver always gets its artifact.
     """
-    import subprocess
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; assert jax.devices()[0].platform == 'tpu'"],
-            timeout=timeout_s, capture_output=True)
-        return r.returncode == 0
-    except (subprocess.TimeoutExpired, OSError):
-        return False
+    from dgtpu.utils.device import backend_reachable
+    return backend_reachable(timeout_s, require="tpu")
 
 
 def _stencil_bytes_per_cycle(mg, dims):

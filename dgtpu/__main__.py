@@ -100,6 +100,11 @@ def main(argv=None):
     from dgtpu.utils.logger import Logger
     logger = Logger(__name__, settings).logger
     logger.info("starting DG-FEM (dgtpu)")
+    if not args.backend:
+        # a remote-accelerator default backend whose tunnel is down blocks
+        # for minutes in backend init and then aborts; degrade to CPU
+        from dgtpu.utils.device import ensure_reachable_backend
+        ensure_reachable_backend(logger)
 
     try:
         dgfem = DGFEM(settings=settings, grid_folder=args.grid_folder,

@@ -11,6 +11,61 @@ vectors; jit follows the committed inputs.
 import jax
 
 
+def backend_reachable(timeout_s=420, require=None):
+    """True if default-backend initialization completes, probed safely.
+
+    Remote-accelerator plugins (the experimental axon TPU tunnel) block
+    inside C++ backend initialization for minutes and then abort when
+    their transport is down — not cleanly catchable in-process.  The
+    probe runs in a killable subprocess; ``require='tpu'`` additionally
+    demands that platform.  On plain-CPU machines this returns True
+    quickly (unless ``require`` says otherwise).
+    """
+    import subprocess
+    import sys
+    code = "import jax; d = jax.devices()"
+    if require:
+        code += f"; assert d[0].platform == '{require}'"
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
+_BACKEND_PROBE = None     # process-wide memo: the tunnel state won't flip
+                          # between solves within one CLI invocation
+
+
+def ensure_reachable_backend(logger=None):
+    """Fall back to the CPU backend when the default one is unreachable.
+
+    Returns True if the default backend is usable, False after falling
+    back.  Call BEFORE any JAX API touches the backend.  No-op when a
+    platform is already pinned (tests' conftest, the CLI ``--backend``
+    flag): an explicit choice is trusted, and the subprocess probe would
+    check the UNPINNED default — wrong and slow."""
+    global _BACKEND_PROBE
+    # the remote plugin registers itself into jax_platforms ('axon,cpu')
+    # even when nothing pinned a platform, so "is a platform set" cannot
+    # distinguish an explicit choice; probe exactly when the remote
+    # plugin would be tried first, trust everything else (tests pin
+    # 'cpu'; a local TPU initializes without a transport)
+    platforms = str(jax.config.jax_platforms or "")
+    if not platforms.startswith("axon"):
+        return True
+    if _BACKEND_PROBE is None:
+        _BACKEND_PROBE = backend_reachable()
+    if _BACKEND_PROBE:
+        return True
+    if logger is not None:
+        logger.warning("default JAX backend unreachable (remote tunnel "
+                       "down?); falling back to CPU")
+    jax.config.update("jax_platforms", "cpu")
+    return False
+
+
 def cpu_device():
     return jax.devices("cpu")[0]
 
