@@ -36,6 +36,9 @@ def _enable_compile_cache():
 PEAK_HBM_GBPS = 819.0
 
 
+_TPU_PROBE = None   # process-wide memo: the tunnel state won't flip mid-run
+
+
 def _probe_tpu(timeout_s=420):
     """Check that the TPU backend actually comes up, in a subprocess.
 
@@ -45,9 +48,22 @@ def _probe_tpu(timeout_s=420):
     it before any JSON is printed.  A subprocess is killable where the
     in-process wait is not; on timeout or failure the caller falls back
     to the CPU backend so the driver always gets its artifact.
+
+    The subprocess (a full extra backend bring-up) is paid only when the
+    remote plugin is actually first in the platform order; plain-CPU and
+    local-TPU machines initialize safely in-process, so they skip it.
+    The result is memoized so entry()/bench can both call this freely.
     """
-    from dgtpu.utils.device import backend_reachable
-    return backend_reachable(timeout_s, require="tpu")
+    global _TPU_PROBE
+    if _TPU_PROBE is None:
+        import jax
+        platforms = str(jax.config.jax_platforms or "")
+        if platforms.startswith("axon"):
+            from dgtpu.utils.device import backend_reachable
+            _TPU_PROBE = backend_reachable(timeout_s, require="tpu")
+        else:
+            _TPU_PROBE = any(d.platform == "tpu" for d in jax.devices())
+    return _TPU_PROBE
 
 
 def _stencil_bytes_per_cycle(mg, dims):

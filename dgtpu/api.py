@@ -215,6 +215,17 @@ class DGFEM:
             cfs = mg.geometric_coarsening.coarsening_factors
             cfs = (sorted(map(int, str(cfs).split(",")), reverse=True)
                    if not isinstance(cfs, int) else [cfs])
+            # every geometric transfer below is a 2x2 agglomeration between
+            # CONSECUTIVE levels (the reference hard-codes the same 4x16
+            # stencils for every level, dgfem.py:363-372, and silently
+            # produces shape garbage for e.g. factors='4'); validate the
+            # chain instead of crashing later with an opaque reshape error
+            chain = cfs + [1]
+            if any(a != 2 * b for a, b in zip(chain, chain[1:])):
+                raise ValueError(
+                    "geometric coarsening factors must form a contiguous "
+                    f"2x chain down to the fine grid (e.g. '8,4,2'); got "
+                    f"{cfs}")
             base = self.levels[0]
             use_fvm = mg.geometric_coarsening.use_FVM
             coarse = [CoarseGridLevel(self.geometry, base, s, self.vars, cf,
@@ -385,7 +396,11 @@ class DGFEM:
         from dgtpu.utils.device import setup_scope
 
         s = self.settings
-        tol = float(s.solver.multigrid.tolerance)
+        # precision: mixed exists to deliver f64-parity accuracy at f32
+        # speed, so it targets at least the 1e-10 BASELINE parity residual
+        # (tighter if the configured tolerance is tighter) — the same
+        # stopping rule as the sharded refinement path in _solve_sharded
+        tol = min(float(s.solver.multigrid.tolerance), 1e-10)
         on_tpu = jax.default_backend() == "tpu"
         dims = [(l.Nj, l.Ni) for l in self.levels]
         stokes = self.levels[-1].block_A is not None

@@ -429,6 +429,7 @@ class StokesGeometricTransfer:
                                 cf=cf)
         self.N_f = Ni_c * Nj_c * cf * cf
         self.N_c = Ni_c * Nj_c
+        self.cf = cf
         self.nu = (pu + 1) ** 2
         self.npd = (pp + 1) ** 2
         # dtype-castable attributes for the bench fast path

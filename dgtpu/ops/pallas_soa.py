@@ -124,7 +124,12 @@ class SoAVCycle(PallasVCycle):
         if kind == "penalty":
             return 0
         if kind == "polynomial":
-            return 2 * _pad8(B_c) * _pad128(B_f) * item
+            # R is (B_c, B_f), P is (B_f, B_c): Mosaic's (8, 128) tile
+            # padding is asymmetric between the two shapes, so charge each
+            # at its own padded size (for p5->p2, R pads to 16x128 but P
+            # to 40x128 — 1.75x more than charging both at R's shape)
+            return (_pad8(B_c) * _pad128(B_f)
+                    + _pad8(B_f) * _pad128(B_c)) * item
         njc, nic = dims_c
         Cc = njc * max(nic // 2, 1)
         Cf = 4 * Cc

@@ -209,8 +209,12 @@ class SoAStokesVCycle:
             hi = levels[k + 1]
             nu2_f, npd_f = 2 * hi.N_DOF_sol["u"], hi.N_DOF_sol["p"]
             if kind == "polynomial":
-                total += 2 * (_pad8(nu2_c) * _pad128(nu2_f)
-                              + _pad8(npd_c) * _pad128(npd_f)) * item
+                # R (coarse, fine) and P (fine, coarse) tile-pad
+                # asymmetrically; charge each shape separately
+                total += (_pad8(nu2_c) * _pad128(nu2_f)
+                          + _pad8(nu2_f) * _pad128(nu2_c)
+                          + _pad8(npd_c) * _pad128(npd_f)
+                          + _pad8(npd_f) * _pad128(npd_c)) * item
             else:                                   # geometric, cf=2
                 Cc = lo.Nj * max(lo.Ni // 2, 1)
                 Cf = 4 * Cc

@@ -231,7 +231,13 @@ class ShardedStokesMultigrid:
                 kinds.append(kind)
                 if isinstance(t, StokesGeometricTransfer):
                     # per-child scalar transfer matrices -> component-wise
-                    # agglomeration operators (uv 2x2-blockdiag per child)
+                    # agglomeration operators (uv 2x2-blockdiag per child);
+                    # the 4-child slicing below assumes 2x2 agglomeration
+                    cf = int(getattr(t, "cf", 2))
+                    if cf != 2:
+                        raise NotImplementedError(
+                            "sharded Stokes geometric coarsening supports "
+                            f"cf=2 (2x2 agglomeration) only, got cf={cf}")
                     R4u = np.asarray(t.tu.R)
                     Bu = R4u.shape[1] // 4
                     Ruv = np.hstack([_blockdiag2(R4u[:, c * Bu:(c + 1) * Bu])

@@ -56,11 +56,33 @@ def cache_key(level, problem_type):
     return name
 
 
-def cache_dir():
-    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    path = os.path.join(repo, "cache", "discrete_system")
+def _repo_cache_dir(sub):
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    path = os.path.join(repo, "cache", sub)
     os.makedirs(path, exist_ok=True)
     return path
+
+
+def cache_dir():
+    return _repo_cache_dir("discrete_system")
+
+
+def _atomic_savez(path, **payload):
+    """Write the npz to a temp file in the same directory, then rename.
+
+    ``os.replace`` is atomic on POSIX, so a concurrent reader (parallel
+    pytest workers, a dryrun sharing the cache with an in-flight bench)
+    sees either the old file or the complete new one — never a truncated
+    zip that makes ``np.load`` raise mid-solve."""
+    # the tmp name must keep the .npz suffix: np.savez appends it otherwise
+    tmp = f"{path}.{os.getpid()}.tmp.npz"
+    try:
+        np.savez(tmp, **payload)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
 
 
 def _cache_path(level, problem_type):
@@ -80,7 +102,11 @@ def _load_validated(level, problem_type):
     path = _cache_path(level, problem_type)
     if not os.path.exists(path):
         return None
-    data = np.load(path)
+    try:
+        data = np.load(path)
+    except Exception:
+        # corrupt/legacy partial write: treat as a miss and reassemble
+        return None
     stored = bytes(data["fingerprint"]).decode()
     if stored != _fingerprint(level):
         # settings changed since the cache was written — same validation
@@ -102,7 +128,7 @@ def save_operator(level, problem_type, op, rhs, inv_mass=None):
         payload["rhs"] = np.asarray(rhs)
     if inv_mass is not None:
         payload["inv_mass"] = np.asarray(inv_mass)
-    np.savez(path, **payload)
+    _atomic_savez(path, **payload)
     return path
 
 
@@ -120,11 +146,7 @@ def load_operator(level, problem_type):
 
 
 def _grid_cache_dir():
-    repo = os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))
-    path = os.path.join(repo, "cache", "grid")
-    os.makedirs(path, exist_ok=True)
-    return path
+    return _repo_cache_dir("grid")
 
 
 def _grid_key(x, y, Ni, Nj, p_grid, tag):
@@ -146,8 +168,12 @@ def load_element_coords(settings, x, y, Ni, Nj, p_grid, tag="el_coords"):
                         _grid_key(x, y, Ni, Nj, p_grid, tag) + ".npz")
     if not os.path.exists(path):
         return None
-    data = np.load(path)
-    return data["X"], data["Y"]
+    try:
+        data = np.load(path)
+        return data["X"], data["Y"]
+    except Exception:
+        # corrupt/legacy partial write: recompute (the next save replaces it)
+        return None
 
 
 def save_element_coords(settings, x, y, Ni, Nj, p_grid, X, Y,
@@ -156,7 +182,7 @@ def save_element_coords(settings, x, y, Ni, Nj, p_grid, X, Y,
         return None
     path = os.path.join(_grid_cache_dir(),
                         _grid_key(x, y, Ni, Nj, p_grid, tag) + ".npz")
-    np.savez(path, X=np.asarray(X), Y=np.asarray(Y))
+    _atomic_savez(path, X=np.asarray(X), Y=np.asarray(Y))
     return path
 
 
@@ -182,7 +208,7 @@ def save_stokes_parts(level, A_blocks, D_blocks, G_blocks, rhs_local, epsilon):
         payload["rhs_local"] = np.asarray(rhs_local)
     if epsilon is not None:
         payload["epsilon"] = np.asarray(epsilon)
-    np.savez(path, **payload)
+    _atomic_savez(path, **payload)
     return path
 
 
