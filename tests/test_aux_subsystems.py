@@ -270,3 +270,81 @@ def test_vmem_estimate_brackets_builder(base_settings):
     padded = sv.padded_operand_bytes
     assert est >= padded, (est, padded)
     assert est <= 2 * padded, (est, padded)
+
+
+def test_cache_writes_are_atomic_and_corruption_tolerant():
+    """npz caches are written via temp + os.replace (no reader can observe
+    a truncated archive) and a corrupt/legacy cache file loads as a miss
+    instead of raising mid-solve."""
+    from dgtpu.geometry import Geometry
+    from dgtpu.utils import caching
+    from dgtpu.utils.caching import (_grid_cache_dir, _grid_key,
+                                     load_element_coords,
+                                     save_element_coords)
+
+    s = make_settings(**{"caching.enabled": True})
+    geom = Geometry(os.path.join(REPO, "input", "Rectangle_4X4_nPoly1.xyz"),
+                    s)
+    X = np.ones((4, 4)); Y = np.zeros((4, 4))
+    path = save_element_coords(s, geom.x, geom.y, geom.Ni, geom.Nj,
+                               geom.P_grid, X, Y, tag="atomic_probe")
+    assert path.endswith(".npz") and os.path.exists(path)
+    # no stray temp files left behind
+    leftovers = [f for f in os.listdir(_grid_cache_dir()) if ".tmp" in f]
+    assert leftovers == []
+    # corrupt the file in place: load must report a miss, not raise
+    with open(path, "wb") as f:
+        f.write(b"PK\x03\x04 not a real zip")
+    assert load_element_coords(s, geom.x, geom.y, geom.Ni, geom.Nj,
+                               geom.P_grid, tag="atomic_probe") is None
+    os.remove(path)
+    # an interrupted writer (np.savez raising mid-write) leaves no temp
+    real_savez = np.savez
+
+    def boom(file, **kw):
+        real_savez(file, **kw)
+        raise RuntimeError("simulated crash after write, before replace")
+
+    key = _grid_key(geom.x, geom.y, geom.Ni, geom.Nj, geom.P_grid,
+                    "atomic_probe")
+    target = os.path.join(_grid_cache_dir(), key + ".npz")
+    try:
+        caching.np.savez = boom
+        with pytest.raises(RuntimeError):
+            caching._atomic_savez(target, X=X, Y=Y)
+    finally:
+        caching.np.savez = real_savez
+    assert not os.path.exists(target)
+    assert [f for f in os.listdir(_grid_cache_dir()) if ".tmp" in f] == []
+
+
+def test_geometric_coarsening_factor_chain_validated():
+    """Non-contiguous geometric coarsening chains (e.g. factors='4') are
+    rejected at hierarchy build with a clear error — the 2x2 agglomeration
+    transfers couple consecutive levels only (the reference silently
+    builds shape-inconsistent operators for such chains, dgfem.py:363)."""
+    params = load_params()
+    params["grid"]["filename"] = "Rectangle_8X8_nPoly1.xyz"
+    params["grid"]["polynomial degree"] = 1
+    params["solution"]["u"]["polynomial degree"] = 2
+    mgp = params["solver"]["multigrid"]
+    mgp["penalty parameter coarsening"]["enabled"] = False
+    mgp["polynomial coarsening"]["enabled"] = False
+    mgp["geometric coarsening"]["enabled"] = True
+    mgp["geometric coarsening"]["coarsening factors"] = 4
+    params["visualization"]["export"] = False
+    params["visualization"]["automatically open paraview"] = False
+    params["logging"]["loglevel"] = "ERROR"
+    params["caching"]["enabled"] = False
+    s = Settings(params)
+    s.solver.method = "multigrid"
+    s.update_setting("solver.discretization", "dg")
+    with pytest.raises(ValueError, match="contiguous 2x chain"):
+        DGFEM(settings=s, solve_multigrid=True)
+    # a contiguous chain still builds
+    mgp["geometric coarsening"]["coarsening factors"] = "2,4"
+    s2 = Settings(params)
+    s2.solver.method = "multigrid"
+    s2.update_setting("solver.discretization", "dg")
+    dg = DGFEM(settings=s2, solve_multigrid=True)
+    assert len(dg.levels) >= 3
