@@ -20,6 +20,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+def _stage(msg):
+    """Progress marker on stderr: the JSON artifact is a single stdout
+    line printed at the very end, so long runs (remote Mosaic compiles
+    are minutes each) are otherwise unobservable."""
+    print(f"# [{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
+
+
 def _enable_compile_cache():
     """Persistent compilation cache: the fused Pallas kernels take minutes
     to compile through the remote-TPU tunnel; cached binaries make reruns
@@ -176,6 +184,7 @@ def run_baseline_configs(skip=()):
     def record(name, fn):
         if name in skip:
             return
+        _stage(f"config {name}")
         try:
             dg, cold, warm = fn()
             from dgtpu.utils.norms import lp_norm
@@ -768,6 +777,7 @@ def run_scaling(args, sizes, headline=None):
     and the mixed-precision time-to-1e-10."""
     out = []
     for n in sizes:
+        _stage(f"scaling point n={n}")
         try:
             if headline is not None and headline.get("grid") == \
                     f"{n}x{n}_p{args.p}":
@@ -805,6 +815,7 @@ def run_smoke(args):
     out = {}
 
     def check(tag, kernel_fn, ref_fn, rhs):
+        _stage(f"smoke: {tag}")
         try:
             t0 = time.perf_counter()
             u_k = jax.block_until_ready(kernel_fn(rhs, jnp.zeros_like(rhs)))
@@ -922,20 +933,24 @@ def main():
               file=sys.stderr)
     _enable_compile_cache()
 
+    _stage(f"flagship n={args.grid_n} p={args.p} dtype={args.dtype}")
     result = measure_flagship(args, args.grid_n)
     result["backend"] = jax.default_backend()
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu and not args.skip_smoke:
+        _stage("Mosaic smoke gate (tiny-shape kernel compiles)")
         result["smoke"] = run_smoke(args)
     if on_tpu and not args.skip_scaling and args.dtype == "float32":
         sizes = sorted(map(int, str(args.scaling_sizes).split(",")))
+        _stage(f"scaling sweep sizes={sizes}")
         result["scaling"] = run_scaling(args, sizes, headline=result)
 
     # the five BASELINE.md benchmark configs, timed end to end
     if not args.skip_configs:
         # Stokes per-V-cycle latency (the second-physics flagship metric)
         try:
+            _stage("Stokes V-cycle metric (8x8)")
             result["stokes"] = stokes_vcycle_metric(
                 use_pallas=not args.no_pallas)
         except Exception as e:  # pragma: no cover — report, keep benching
@@ -945,10 +960,12 @@ def main():
             # large-grid Stokes through the streamed hybrid (past the
             # fused-kernel VMEM budget) + mixed precision to 1e-10
             try:
+                _stage("large-grid streamed Stokes metric (32x32)")
                 result["stokes_large"] = stokes_streamed_metric(n=32)
             except Exception as e:  # pragma: no cover
                 print(f"# stokes_large failed: {type(e).__name__}: {e}",
                       file=sys.stderr)
+        _stage("five BASELINE config timings")
         result["configs"] = run_baseline_configs()
 
     print(json.dumps(result))
