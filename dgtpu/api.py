@@ -691,19 +691,10 @@ class DGFEM:
 
     def _nodal_lattices(self, level, num, exact, name="phi"):
         """Per-element nodal fields -> global (il, jl) lattices for VTK."""
-        il = level.Ni * level.P_grid + 1
-        jl = level.Nj * level.P_grid + 1
-        G1 = level.P_grid + 1
+        from dgtpu.io.vtk import nodal_lattice
 
         def to_lattice(arr):
-            out = np.zeros((il, jl))
-            a = np.asarray(arr)
-            for m in range(level.N):
-                i, j = m % level.Ni, m // level.Ni
-                out[i * level.P_grid:i * level.P_grid + G1,
-                    j * level.P_grid:j * level.P_grid + G1] = \
-                    a[m].reshape(G1, G1, order="F")
-            return out
+            return nodal_lattice(level, arr)
 
         nn, ne = to_lattice(num), to_lattice(exact)
         return {f"{name}": nn, f"{name}_exact": ne, f"abs_error_{name}": np.abs(nn - ne)}

@@ -83,3 +83,43 @@ def elements_to_vtk(basepath, x, y, point_data=None):
     ``point_data`` values are (nx, ny) nodal arrays.
     """
     return write_vts(basepath + ".vts", x, y, point_data)
+
+
+def nodal_lattice(level, per_element):
+    """Per-element nodal values ``(N, (P_grid+1)^2)`` (column-major mode
+    order, element.py's ``order='F'`` ravel) -> the global ``(il, jl)``
+    node lattice, shared edge nodes overwritten like the reference's
+    per-element lattice fill (visualization.py:66-117)."""
+    il = level.Ni * level.P_grid + 1
+    jl = level.Nj * level.P_grid + 1
+    G1 = level.P_grid + 1
+    out = np.zeros((il, jl))
+    a = np.asarray(per_element)
+    for m in range(level.N):
+        i, j = m % level.Ni, m // level.Ni
+        out[i * level.P_grid:i * level.P_grid + G1,
+            j * level.P_grid:j * level.P_grid + G1] = \
+            a[m].reshape(G1, G1, order="F")
+    return out
+
+
+def modal_to_vtk(basepath, level, u_modal, x, y, var="u", name="phi"):
+    """Interpolate a modal DOF vector to the element node lattice and
+    export it as ``.vts`` (reference visualization.py:119-128).
+
+    ``u_modal`` is the local-ordering modal vector (or its per-element
+    reshape); only the ``var`` component block of each element is used,
+    so Poisson vectors pass through whole and Stokes local-order vectors
+    export their u block by default.
+    """
+    u_el = np.asarray(u_modal).reshape(level.N, -1)
+    nd = level.N_DOF_sol[var]
+    eb = getattr(level, "element_basis", None)
+    if eb is not None:
+        Vg = np.asarray(eb.apply(level.quad.V_sol_grid[var]))   # (N, G, B)
+        nodal = np.einsum("ngb,nb->ng", Vg, u_el[:, :nd])
+    else:
+        Vg = np.asarray(level.quad.V_sol_grid[var])
+        nodal = u_el[:, :nd] @ Vg.T
+    return write_vts(basepath + ".vts", x, y,
+                     {name: nodal_lattice(level, nodal)})

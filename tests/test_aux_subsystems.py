@@ -348,3 +348,26 @@ def test_geometric_coarsening_factor_chain_validated():
     s2.update_setting("solver.discretization", "dg")
     dg = DGFEM(settings=s2, solve_multigrid=True)
     assert len(dg.levels) >= 3
+
+
+def test_modal_to_vtk(tmp_path):
+    """modal_to_vtk (reference visualization.py:119-128): a modal vector
+    interpolates to the node lattice and exports; the lattice agrees with
+    the exact solution sampled at the grid nodes to the solver accuracy."""
+    from dgtpu.io.vtk import modal_to_vtk, nodal_lattice
+
+    dg = DGFEM(settings=make_settings(), solve_direct=True)
+    u_modal = dg.solve()
+    lvl = dg.levels[-1]
+    path = modal_to_vtk(os.path.join(tmp_path, "modal"), lvl, u_modal,
+                        dg.geometry.x, dg.geometry.y)
+    raw = open(path, "rb").read()
+    assert raw.startswith(b"<?xml") and b"StructuredGrid" in raw
+    # the helper's modal->nodal->lattice agrees with the orchestrator's
+    # own postprocessing (api._postprocess computed dg.u_nodal)
+    lat_api = nodal_lattice(lvl, dg.u_nodal)
+    Vg = np.asarray(lvl.quad.V_sol_grid["u"])
+    nodal = np.asarray(u_modal).reshape(lvl.N, -1) @ Vg.T
+    lat = nodal_lattice(lvl, nodal)
+    assert lat.shape == (lvl.Ni * lvl.P_grid + 1, lvl.Nj * lvl.P_grid + 1)
+    np.testing.assert_allclose(lat, lat_api, atol=1e-12)
