@@ -311,6 +311,7 @@ def stokes_vcycle_metric(reps=100, n=8, use_pallas=True):
     """
     import jax
     import jax.numpy as jnp
+    from dgtpu.utils.jitting import const_jit
     from dgtpu.api import DGFEM
     from dgtpu.geometry import generate_rectangle_grid, write_plot3d
     from dgtpu.ops.pallas_stokes import SoAStokesVCycle
@@ -343,7 +344,7 @@ def stokes_vcycle_metric(reps=100, n=8, use_pallas=True):
                    / jnp.linalg.norm(rhs))
         assert r5 < 1e-2, f"Stokes fused cycle not contracting: {r5}"
 
-        @jax.jit
+        @const_jit
         def many(rhs, u, k):
             def body(_, u):
                 return one(rhs, u)
@@ -401,6 +402,7 @@ def stokes_streamed_metric(reps=50, n=32):
     """
     import jax
     import jax.numpy as jnp
+    from dgtpu.utils.jitting import const_jit
     from dgtpu.api import DGFEM
     from dgtpu.geometry import generate_rectangle_grid, write_plot3d
     from dgtpu.ops.pallas_stokes_stream import StreamedStokesVCycle
@@ -435,7 +437,7 @@ def stokes_streamed_metric(reps=50, n=32):
     out["residual_after_5_cycles"] = r5
     out["contraction_per_cycle"] = round(r5 ** 0.2, 4)
 
-    @jax.jit
+    @const_jit
     def many(rhs, u, k):
         def body(_, u):
             return one(rhs, u)
@@ -459,7 +461,7 @@ def stokes_streamed_metric(reps=50, n=32):
                     / jnp.linalg.norm(rhs))
         out["bf16_residual_after_5_cycles"] = r5b
         if r5b < 1e-2:
-            @jax.jit
+            @const_jit
             def many16(rhs, u, k):
                 def body(_, u):
                     return one16(rhs, u)
@@ -495,6 +497,7 @@ def measure_flagship(args, grid_n, gate=True, refine=True):
     """
     import jax
     import jax.numpy as jnp
+    from dgtpu.utils.jitting import const_jit
     import numpy as np
 
     from __graft_entry__ import _flagship
@@ -564,11 +567,11 @@ def measure_flagship(args, grid_n, gate=True, refine=True):
     n_lev = len(ops)
     rhs = jax.device_put(rhs, target)
 
-    @jax.jit
+    @const_jit
     def one_cycle(rhs, u):
         return mg.v_cycle(n_lev, rhs, u)
 
-    @jax.jit
+    @const_jit
     def many_cycles(rhs, u, n):
         def body(_, u):
             return mg.v_cycle(n_lev, rhs, u)
@@ -591,7 +594,7 @@ def measure_flagship(args, grid_n, gate=True, refine=True):
             pv.to_device(target)
             rolled_one = pv.build_xla()
 
-            @jax.jit
+            @const_jit
             def rolled_many(rhs, u, n):
                 def body(_, u):
                     return rolled_one(rhs, u)
@@ -604,7 +607,7 @@ def measure_flagship(args, grid_n, gate=True, refine=True):
                     and grid_n <= args.pallas_max_n):
                 pallas_one = pv.build()
 
-                @jax.jit
+                @const_jit
                 def pallas_many(rhs, u, n):
                     def body(_, u):
                         return pallas_one(rhs, u)
@@ -622,7 +625,7 @@ def measure_flagship(args, grid_n, gate=True, refine=True):
                 sv.to_device(target)
                 soa_one = sv.build()
 
-                @jax.jit
+                @const_jit
                 def soa_many(rhs, u, n):
                     def body(_, u):
                         return soa_one(rhs, u)
@@ -646,7 +649,7 @@ def measure_flagship(args, grid_n, gate=True, refine=True):
                     hv.to_device(target)
                     one = hv.build()
 
-                    @jax.jit
+                    @const_jit
                     def many(rhs, u, n):
                         def body(_, u):
                             return one(rhs, u)

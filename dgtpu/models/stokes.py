@@ -17,6 +17,8 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
+
+from dgtpu.utils.jitting import const_jit
 import numpy as np
 
 from dgtpu.models.faces import (FaceData, continuity_dirichlet_rhs,
@@ -750,7 +752,7 @@ def distributive_gauss_seidel_solve(level, rhs, u0=None, splitting="lsq",
     max_iterations = int(min(max_iterations, 100000))
     hist_len = min(max_iterations, 20000)
 
-    @jax.jit
+    @const_jit
     def run(rhs, u0):
         res0 = lp_norm(rhs - op.matvec(u0), 2)
         hist0 = jnp.full((hist_len,), jnp.nan, dtype=rhs.dtype)

@@ -36,6 +36,8 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+from dgtpu.utils.jitting import const_jit
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -517,7 +519,7 @@ class SoAVCycle(PallasVCycle):
                 vmem_limit_bytes=120 * 1024 * 1024),
         )
 
-        @jax.jit
+        @const_jit
         def one_cycle(rhs, u):
             r01 = self._to_soa(rhs.astype(self.dtype))
             u01 = self._to_soa(u.astype(self.dtype))
@@ -532,7 +534,7 @@ class SoAVCycle(PallasVCycle):
         flat, rebuild = self._flat_consts()
         consts = rebuild(flat)
 
-        @jax.jit
+        @const_jit
         def one_cycle(rhs, u):
             r01 = self._to_soa(rhs.astype(self.dtype))
             u01 = self._to_soa(u.astype(self.dtype))

@@ -21,6 +21,8 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+from dgtpu.utils.jitting import const_jit
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -620,7 +622,7 @@ class SoAStokesVCycle:
         flat, rebuild = self._flat_consts()
         consts = rebuild(flat)
 
-        @jax.jit
+        @const_jit
         def one_cycle(rhs, u):
             self._masked(consts)
             f = self._to_soa(rhs.astype(self.dtype))
@@ -666,7 +668,7 @@ class SoAStokesVCycle:
                 vmem_limit_bytes=120 * 1024 * 1024),
         )
 
-        @jax.jit
+        @const_jit
         def one_cycle(rhs, u):
             f = self._to_soa(rhs.astype(self.dtype))
             x = self._to_soa(u.astype(self.dtype))

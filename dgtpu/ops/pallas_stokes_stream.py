@@ -27,6 +27,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from dgtpu.utils.jitting import const_jit
+
 from dgtpu.ops.pallas_soa import _mac
 from dgtpu.ops.pallas_stokes import SoAStokesVCycle, _blockdiag2, _soa_diag
 from dgtpu.ops.pallas_stream import StreamedLevel, _soa2_to_vec, _vec_to_soa2
@@ -348,7 +350,7 @@ class StreamedStokesVCycle:
             self.sub.build()
         top = self.n_lev - 1
 
-        @jax.jit
+        @const_jit
         def one_cycle(rhs, u):
             f_mom01, f_cont01 = self._from_flat(top, rhs.astype(self.dtype))
             uv01, p01 = self._from_flat(top, u.astype(self.dtype))

@@ -25,6 +25,8 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+from dgtpu.utils.jitting import const_jit
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -604,7 +606,7 @@ class StreamedVCycle:
             self.sub.build()
         nj, ni = self.dims[-1]
 
-        @jax.jit
+        @const_jit
         def one_cycle(rhs, u):
             B = rhs.size // (nj * ni)
             r = rhs.astype(self.dtype).reshape(nj, ni, B)

@@ -23,6 +23,8 @@ Supports p-/penalty-/geometric transfers and red-black smoothing in f32/f64.
 
 import jax
 import jax.numpy as jnp
+
+from dgtpu.utils.jitting import const_jit
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -283,7 +285,7 @@ class PallasVCycle:
         if has_inv:
             consts = (*consts, self.coarse_inv_col)
 
-        @jax.jit
+        @const_jit
         def one_cycle(rhs, u):
             rhs = rhs.reshape(nj, ni, B).astype(self.dtype)
             u = u.reshape(nj, ni, B).astype(self.dtype)
@@ -304,7 +306,7 @@ class PallasVCycle:
         consts = self._host_consts() + (list(self.R), list(self.P),
                                         self.coarse_inv_col)
 
-        @jax.jit
+        @const_jit
         def one_cycle(rhs, u):
             rhs = rhs.reshape(nj, ni, B).astype(self.dtype)
             u = u.reshape(nj, ni, B).astype(self.dtype)

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dgtpu.ops.stencil import as_dense_operator
+from dgtpu.utils.jitting import const_jit
 from dgtpu.utils.norms import lp_norm
 
 
@@ -298,7 +299,7 @@ def solve_amg(op, rhs, tol=1e-6, maxiter=1000, variant="sa"):
         return res
     A_dev = jnp.asarray(A)
 
-    @jax.jit
+    @const_jit
     def run(rhs):
         res0 = jnp.linalg.norm(rhs)
         hist0 = jnp.full((maxiter + 1,), jnp.nan, dtype=rhs.dtype)

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from dgtpu.ops.linalg import host_lu_inverse
 from dgtpu.ops.smoothers import (ColorPack, apply_smoother, block_diag_inv,
                                  element_colors, normalize_smoother_name)
+from dgtpu.utils.jitting import const_jit
 from dgtpu.utils.norms import lp_norm
 
 
@@ -167,7 +168,10 @@ class MultigridSolver:
             hist = hist.at[n].set(res)
             return u, res, n, hist
 
-        return jax.jit(solve)
+        # const_jit: the v_cycle closes over the whole operator hierarchy;
+        # plain jax.jit would bake it into the HLO as literals (see
+        # dgtpu/utils/jitting.py)
+        return const_jit(solve)
 
     def solve(self, rhs, u0=None, tol=None, max_cycles=None):
         """Run V-cycles to tolerance; returns (u, final_residual, n_cycles, history).

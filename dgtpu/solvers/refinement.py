@@ -28,6 +28,7 @@ import logging
 import jax
 import jax.numpy as jnp
 
+from dgtpu.utils.jitting import const_jit
 from dgtpu.utils.norms import lp_norm
 
 
@@ -73,7 +74,7 @@ def _make_f64_solver(op64, cycle32, n_inner, tol, max_outer):
     # the emulated-f64 operator blocks are by far the largest array in the
     # program (212 MB at 64x64 — large enough to exceed compile-request
     # limits on remote-compile setups)
-    @jax.jit
+    @const_jit
     def solve_with_op(op64, rhs, u0):
         r0 = rhs - op64.matvec(u0)
         res0 = lp_norm(r0, 2)
@@ -110,7 +111,7 @@ def _make_df32_solver(df, cycle32, n_inner, tol, max_outer):
 
     tol32 = jnp.float32(tol)
 
-    @jax.jit
+    @const_jit
     def solve_with_df(df, b_hi, b_lo, u_hi, u_lo):
         r_hi, r_lo = df(b_hi, b_lo, u_hi, u_lo)
         res0 = pair_norm2(r_hi, r_lo)

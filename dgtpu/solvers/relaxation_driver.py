@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from dgtpu.ops.smoothers import apply_smoother, block_diag_inv
+from dgtpu.utils.jitting import const_jit
 from dgtpu.utils.norms import lp_norm
 
 
@@ -32,7 +33,7 @@ def residual_tracked_smoother(op, rhs, u0=None, name="block_gauss_seidel",
                               iterations=1, Dinv=Dinv, strategy=strategy,
                               colors=colors)
 
-    @jax.jit
+    @const_jit
     def run(rhs, u0):
         res0 = lp_norm(rhs - op.matvec(u0), 2)
         hist0 = jnp.full((max_iterations,), jnp.nan, dtype=rhs.dtype)
