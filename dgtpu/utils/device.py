@@ -8,10 +8,23 @@ operator pytrees (StencilOperator / StokesGlobalOperator / TransferOp) and
 vectors; jit follows the committed inputs.
 """
 
+import json
+import os
+import subprocess
+import sys
+import time
+
 import jax
 
 
-def backend_reachable(timeout_s=420, require=None):
+def _probe_cache_path(require):
+    """Disk location of the backend-probe memo (repo cache/ dir)."""
+    return os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "cache",
+        f"backend_probe_{require or 'default'}.json")
+
+
+def backend_reachable(timeout_s=420, require=None, cache_ttl_s=1200):
     """True if default-backend initialization completes, probed safely.
 
     Remote-accelerator plugins (the experimental axon TPU tunnel) block
@@ -20,18 +33,42 @@ def backend_reachable(timeout_s=420, require=None):
     probe runs in a killable subprocess; ``require='tpu'`` additionally
     demands that platform.  On plain-CPU machines this returns True
     quickly (unless ``require`` says otherwise).
+
+    The result is memoized on disk for ``cache_ttl_s`` (the subprocess is
+    a *full* remote backend bring-up — measured 333 s when the tunnel is
+    up and the whole ``timeout_s`` when it is down — and bench/entry/CLI
+    each launch fresh processes back to back).  Pass ``cache_ttl_s=0`` to
+    force a live probe.
     """
-    import subprocess
-    import sys
+    cache = _probe_cache_path(require)
+    if cache_ttl_s:
+        try:
+            with open(cache) as f:
+                memo = json.load(f)
+            if time.time() - float(memo["ts"]) < cache_ttl_s:
+                return bool(memo["ok"])
+        except (OSError, ValueError, KeyError):
+            pass
+
     code = "import jax; d = jax.devices()"
     if require:
         code += f"; assert d[0].platform == '{require}'"
     try:
         r = subprocess.run([sys.executable, "-c", code],
                            timeout=timeout_s, capture_output=True)
-        return r.returncode == 0
+        ok = r.returncode == 0
     except (subprocess.TimeoutExpired, OSError):
-        return False
+        ok = False
+
+    try:
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        tmp = f"{cache}.{os.getpid()}.tmp"
+        with open(tmp, "w") as f:
+            json.dump({"ts": time.time(), "ok": ok}, f)
+        os.replace(tmp, cache)
+    except OSError:  # read-only checkout: the probe still works, uncached
+        pass
+    return ok
 
 
 _BACKEND_PROBE = None     # process-wide memo: the tunnel state won't flip

@@ -371,3 +371,46 @@ def test_modal_to_vtk(tmp_path):
     lat = nodal_lattice(lvl, nodal)
     assert lat.shape == (lvl.Ni * lvl.P_grid + 1, lvl.Nj * lvl.P_grid + 1)
     np.testing.assert_allclose(lat, lat_api, atol=1e-12)
+
+
+def test_backend_probe_disk_memo(tmp_path, monkeypatch):
+    """backend_reachable memoizes its subprocess probe on disk: a fresh
+    memo short-circuits the (minutes-long on axon) bring-up, a stale one
+    re-probes, and cache_ttl_s=0 forces a live probe."""
+    import time
+
+    import dgtpu.utils.device as device
+
+    calls = []
+
+    class _R:
+        returncode = 0
+
+    def fake_run(*a, **k):
+        calls.append(1)
+        return _R()
+
+    monkeypatch.setattr(device.subprocess, "run", fake_run)
+    # redirect the memo into tmp_path so the suite never touches cache/
+    monkeypatch.setattr(
+        device, "_probe_cache_path",
+        lambda require: os.path.join(
+            tmp_path, f"backend_probe_{require}.json"))
+
+    assert device.backend_reachable(require="unit") is True
+    assert len(calls) == 1
+    # second call within the TTL: served from the memo, no subprocess
+    assert device.backend_reachable(require="unit") is True
+    assert len(calls) == 1
+    # TTL=0 forces a live probe
+    assert device.backend_reachable(require="unit", cache_ttl_s=0) is True
+    assert len(calls) == 2
+    # stale memo re-probes
+    memo = os.path.join(tmp_path, "backend_probe_unit.json")
+    with open(memo) as f:
+        payload = json.load(f)
+    payload["ts"] = time.time() - 1e6
+    with open(memo, "w") as f:
+        json.dump(payload, f)
+    assert device.backend_reachable(require="unit") is True
+    assert len(calls) == 3
