@@ -395,6 +395,13 @@ class DGFEM:
         from dgtpu.solvers.refinement import make_refined_solver
         from dgtpu.utils.device import setup_scope
 
+        if bool(getattr(self.settings.solver.multigrid,
+                        "full_multigrid", False)):
+            self.logger.warning(
+                "solver.multigrid.full_multigrid is implemented on the "
+                "generic single-chip path only; the mixed-precision "
+                "refinement starts from a zero guess")
+
         s = self.settings
         # precision: mixed exists to deliver f64-parity accuracy at f32
         # speed, so it targets at least the 1e-10 BASELINE parity residual
@@ -519,6 +526,12 @@ class DGFEM:
                 "count=N for a virtual CPU mesh)")
         mesh = make_mesh(n_shards)
         finest = self.levels[-1]
+        if bool(getattr(self.settings.solver.multigrid,
+                        "full_multigrid", False)):
+            self.logger.warning(
+                "solver.multigrid.full_multigrid is implemented on the "
+                "generic single-chip path only; the sharded solve starts "
+                "from a zero guess")
         # smoother kind/direction/iterations/relaxation factor and the
         # coarse-grid solver all come from the per-coarsening paramfile
         # nodes inside the sharded solvers, same as the single-chip path

@@ -171,6 +171,13 @@ class SoAStokesVCycle:
 
         self.cycle_type = str(getattr(settings.solver.multigrid,
                                       "cycle_type", "V")).upper()
+        if self.cycle_type not in ("V", "W"):
+            # F-cycles (and anything else) run on the generic XLA path
+            # (solvers/multigrid.py) -- error early instead of silently
+            # degrading to V
+            raise NotImplementedError(
+                f"the fused Stokes kernel implements V and W, not "
+                f"{self.cycle_type!r}")
         self.coarse_solver = settings.solver.multigrid.coarse_grid_solver
         if self.coarse_solver in ("direct", "amg"):
             self.coarse = self._coarse_tensors(levels[0])

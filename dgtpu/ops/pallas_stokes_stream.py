@@ -155,6 +155,13 @@ class StreamedStokesVCycle:
         self.npd = [l.N_DOF_sol["p"] for l in levels]
         self.cycle_type = str(getattr(settings.solver.multigrid,
                                       "cycle_type", "V")).upper()
+        if self.cycle_type not in ("V", "W"):
+            # F-cycles (and anything else) run on the generic XLA path
+            # (solvers/multigrid.py) -- error early instead of silently
+            # degrading to V
+            raise NotImplementedError(
+                f"the streamed Stokes hybrid implements V and W, not "
+                f"{self.cycle_type!r}")
 
         cut = 0
         for k in range(1, self.n_lev):      # always stream the finest level

@@ -471,6 +471,13 @@ class StreamedVCycle:
         self.n_lev = len(ops)
         self.cycle_type = str(getattr(settings.solver.multigrid,
                                       "cycle_type", "V")).upper()
+        if self.cycle_type not in ("V", "W"):
+            # F-cycles (and anything else) run on the generic XLA path
+            # (solvers/multigrid.py) -- error early instead of silently
+            # degrading to V
+            raise NotImplementedError(
+                f"the streamed hybrid implements V and W, not "
+                f"{self.cycle_type!r}")
         # fused-subtree cut: the deepest prefix of levels whose padded SoA
         # footprint — blocks, Dinv, masks, the O(cells^2) geometric
         # transfer tensors and the dense coarse inverse — fits the budget.

@@ -101,6 +101,13 @@ class PallasVCycle:
                 self.evens.append(rolled.parity_mask(nj, dtype))
         self.cycle_type = str(getattr(settings.solver.multigrid,
                                       "cycle_type", "V")).upper()
+        if self.cycle_type not in ("V", "W"):
+            # F-cycles (and anything else) run on the generic XLA path
+            # (solvers/multigrid.py) -- error early instead of silently
+            # degrading to V
+            raise NotImplementedError(
+                f"the fused kernels implement V and W, not "
+                f"{self.cycle_type!r}")
         self.coarse_solver = settings.solver.multigrid.coarse_grid_solver
         if self.coarse_solver in ("direct", "amg"):
             nj0, ni0 = self.dims[0]

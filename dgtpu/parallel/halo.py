@@ -415,6 +415,13 @@ class ShardedMultigrid:
         self.max_cycles = int(settings.solver.multigrid.max_cycles)
         self.cycle_type = str(getattr(settings.solver.multigrid,
                                       "cycle_type", "V")).upper()
+        if self.cycle_type not in ("V", "W"):
+            # F-cycles (and anything else) run on the generic XLA path
+            # (solvers/multigrid.py) -- error early instead of silently
+            # degrading to V
+            raise NotImplementedError(
+                f"the sharded multigrid implements V and W, not "
+                f"{self.cycle_type!r}")
         self._built = None
 
     def _restrict(self, k, R, r):

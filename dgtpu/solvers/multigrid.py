@@ -68,12 +68,19 @@ class MultigridSolver:
         self.Dinv = [block_diag_inv(op) if hasattr(op, "blocks") else None
                      for op in ops]
         self.coarse_solver = settings.solver.multigrid.coarse_grid_solver
-        # V (reference behavior) or W (each coarse sub-hierarchy visited
-        # twice) — a dgtpu extension, the reference only implements V
+        # V (reference behavior), W (each coarse sub-hierarchy visited
+        # twice) or F (first visit recurses as F, second as V) — dgtpu
+        # extensions, the reference only implements V
         self.cycle_type = str(getattr(settings.solver.multigrid,
                                       "cycle_type", "V")).upper()
-        if self.cycle_type not in ("V", "W"):
-            raise ValueError(f"cycle type must be V or W, got {self.cycle_type}")
+        if self.cycle_type not in ("V", "W", "F"):
+            raise ValueError(
+                f"cycle type must be V, W or F, got {self.cycle_type}")
+        # full multigrid (nested iteration): solve coarsest first, prolong
+        # upward with one cycle per level — the initial guess starts near
+        # discretization accuracy instead of zero
+        self.full_multigrid = bool(getattr(settings.solver.multigrid,
+                                           "full_multigrid", False))
         if self.coarse_solver in ("direct", "amg"):
             coarse = ops[0]
             # a Stokes saddle operator needs its pressure pin to be invertible
@@ -120,16 +127,25 @@ class MultigridSolver:
                               strategy=self.strategy, colors=self.colors[k],
                               pack=self.packs[k])
 
-    def v_cycle(self, k, rhs, u):
-        """Level index k = number of levels in this sub-hierarchy (as in solver.py:141)."""
+    def v_cycle(self, k, rhs, u, mode=None):
+        """Level index k = number of levels in this sub-hierarchy (as in solver.py:141).
+
+        ``mode`` is the cycle shape for this sub-tree (defaults to the
+        configured ``cycle_type``): W revisits each coarse sub-hierarchy
+        with the same shape, F revisits it with a plain V — the classic
+        F-cycle, between V and W in cost and robustness.
+        """
+        mode = mode or self.cycle_type
         if k > 1:
             pre, post = self._smoother_cfg[self.types[k - 2]]
             u = self._smooth(pre, k - 1, rhs, u)
             residual = rhs - self.ops[k - 1].matvec(u)
             rhs_coarse = self.transfers[k - 2].restrict(residual)
-            u_coarse = self.v_cycle(k - 1, rhs_coarse, jnp.zeros_like(rhs_coarse))
-            if self.cycle_type == "W" and k - 1 > 1:
-                u_coarse = self.v_cycle(k - 1, rhs_coarse, u_coarse)
+            u_coarse = self.v_cycle(k - 1, rhs_coarse,
+                                    jnp.zeros_like(rhs_coarse), mode=mode)
+            if mode in ("W", "F") and k - 1 > 1:
+                u_coarse = self.v_cycle(k - 1, rhs_coarse, u_coarse,
+                                        mode="W" if mode == "W" else "V")
             u = u + self.transfers[k - 2].prolong(u_coarse)
             u = self._smooth(post, k - 1, rhs, u)
         else:
@@ -140,6 +156,26 @@ class MultigridSolver:
                 u = self._smooth(pre, 0, rhs, u, iterations=10)
         return u
 
+    def fmg_guess(self, rhs):
+        """Full-multigrid (nested-iteration) initial guess.
+
+        Restricts the rhs through the hierarchy, solves the coarsest level,
+        then prolongs upward running one ``cycle_type`` cycle per level.
+        The returned iterate is typically within a couple of orders of the
+        discretization accuracy, so the outer tolerance loop starts 2-4
+        cycles ahead of a zero guess.  dgtpu extension (the reference only
+        iterates from zero, solver.py:114-139).
+        """
+        rhss = [rhs]
+        for t in reversed(self.transfers):          # fine -> coarse
+            rhss.append(t.restrict(rhss[-1]))
+        rhss = rhss[::-1]                           # coarsest first
+        u = self.v_cycle(1, rhss[0], jnp.zeros_like(rhss[0]))
+        for k in range(2, len(self.ops) + 1):
+            u = self.transfers[k - 2].prolong(u)
+            u = self.v_cycle(k, rhss[k - 1], u)
+        return u
+
     # -- outer tolerance loop -------------------------------------------------
 
     def _build_solve(self, tol, max_cycles):
@@ -147,7 +183,14 @@ class MultigridSolver:
         A = self.ops[-1]
 
         def solve(rhs, u0):
-            res0 = lp_norm(rhs - A.matvec(u0), 2)
+            # normalization stays ||rhs - A*0|| = ||rhs|| when FMG supplies
+            # the guess, so "res <= tol" keeps the reference's meaning
+            # (relative to the zero iterate, solver.py:117-123) instead of
+            # demanding 1e-6 *beyond* the already-good FMG iterate
+            if self.full_multigrid:
+                u0 = u0 + self.fmg_guess(rhs - A.matvec(u0))
+            res0 = lp_norm(rhs, 2) if self.full_multigrid \
+                else lp_norm(rhs - A.matvec(u0), 2)
             hist0 = jnp.full((max_cycles + 1,), jnp.nan, dtype=rhs.dtype)
 
             def cond(state):
