@@ -251,3 +251,44 @@ def test_f_cycle_rejected_by_fused_and_sharded_builders():
     with pytest.raises(NotImplementedError, match="V and W"):
         PallasVCycle([l.op for l in dg.levels], dg.transfers,
                      dg.transfer_types, s, dims)
+
+
+def test_stokes_fmg_f_cycle():
+    """F-cycles + FMG on the Stokes saddle path (distributive-GS smoothing):
+    measured 43 V-cycles -> 13 F+FMG cycles on the 8x8 p=2 hierarchy; this
+    compact 4x4 version pins convergence, the FMG head start, and solution
+    agreement with the plain-V solve."""
+    from dgtpu.api import DGFEM
+    from dgtpu.settings import Settings, load_params
+
+    def run(cycle, fmg):
+        params = load_params()
+        params["grid"]["filename"] = "Rectangle_4X4_nPoly2.xyz"
+        params["grid"]["polynomial degree"] = 2
+        params["problem"]["type"] = "Stokes"
+        params["solution"]["ordering"] = "global"
+        for ck in ("polynomial coarsening", "geometric coarsening"):
+            for side in ("pre smoother", "post smoother"):
+                params["solver"]["multigrid"][ck][side]["smoother"] = \
+                    "distributive_gauss_seidel"
+        params["solver"]["multigrid"]["cycle type"] = cycle
+        params["solver"]["multigrid"]["full multigrid"] = fmg
+        params["visualization"]["export"] = False
+        params["visualization"]["automatically open paraview"] = False
+        params["logging"]["loglevel"] = "ERROR"
+        params["caching"]["enabled"] = False
+        s = Settings(params)
+        s.solver.method = "multigrid"
+        s.update_setting("solver.discretization", "dg")
+        dg = DGFEM(settings=s, solve_multigrid=True)
+        dg.solve()
+        assert dg.residuals[-1] < 1e-6
+        return dg
+
+    dg_v = run("V", False)
+    dg_f = run("F", True)
+    assert dg_f.residuals[0] < 0.5            # FMG head start
+    assert len(dg_f.residuals) <= len(dg_v.residuals)
+    # both iterates satisfy the 1e-6 residual criterion but differ at the
+    # residual-induced level (~5e-4 relative on this hierarchy)
+    assert np.isclose(dg_f.L2_error_u, dg_v.L2_error_u, rtol=1e-2)
