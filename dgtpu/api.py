@@ -115,7 +115,14 @@ class DGFEM:
         self.levels = []
         self.transfers = []
         self.transfer_types = []
-        if s.solver.method == "multigrid":
+        wants_mg_precond = (
+            s.solver.method == "krylov"
+            and str(getattr(getattr(s.solver, "krylov", None),
+                            "preconditioner", "")) == "multigrid")
+        if s.solver.method == "multigrid" or wants_mg_precond:
+            # krylov + preconditioner: multigrid assembles the same coarse
+            # hierarchy the multigrid method would; one V-cycle per Krylov
+            # iteration is then the preconditioner application
             self._build_multigrid_hierarchy()
         else:
             disc = getattr(s.solver, "discretization", "dg")
@@ -361,7 +368,8 @@ class DGFEM:
                 return calculate_amplification(finest, self.results_dir)
             elif method == "krylov":
                 from dgtpu.solvers.krylov import solve_krylov
-                u_modal = synchronize(solve_krylov(finest, s))
+                u_modal = synchronize(solve_krylov(
+                    finest, s, mg_cycle=self._krylov_mg_cycle()))
             elif method == "pyamg":
                 from dgtpu.solvers.amg import solve_amg
                 variant = str(getattr(getattr(s.solver, "amg", None),
@@ -377,6 +385,39 @@ class DGFEM:
         self.logger.info(f"Solving with {method} method took {t.elapsed():.4g} seconds")
 
         return self._postprocess(u_modal)
+
+    def _krylov_mg_cycle(self):
+        """One jitted V/W/F-cycle as a Krylov preconditioner application.
+
+        Returns None unless ``solver.krylov.preconditioner: multigrid``.
+        The hierarchy was already assembled in ``initialize()`` (the same
+        coarsening config the multigrid method reads); a cycle from a zero
+        initial guess is a fixed linear operator, which is exactly what
+        ``jax.scipy.sparse.linalg`` expects of M.  dgtpu extension — the
+        reference's Krylov path (solver.py:79-112) has no multigrid
+        preconditioner.
+        """
+        s = self.settings
+        if str(getattr(getattr(s.solver, "krylov", None), "preconditioner",
+                       "")) != "multigrid":
+            return None
+        if len(self.levels) < 2:
+            raise ValueError(
+                "solver.krylov.preconditioner: multigrid needs a coarse "
+                "hierarchy — enable at least one solver.multigrid coarsening")
+        from dgtpu.solvers.multigrid import MultigridSolver
+        colors = [element_colors(l.Ni, l.Nj) for l in self.levels]
+        self.mg = MultigridSolver([l.op for l in self.levels], self.transfers,
+                                  self.transfer_types, s, colors=colors,
+                                  levels=self.levels)
+        k = len(self.mg.ops)
+        import jax
+
+        @jax.jit
+        def cycle(r):
+            return self.mg.v_cycle(k, r, jnp.zeros_like(r))
+
+        return cycle
 
     def _solve_multigrid_mixed(self, finest):
         """Mixed-precision multigrid: f32 fused V-cycles + f64 defect

@@ -68,24 +68,39 @@ def _check_convergence(op, rhs, u, tol, atol, settings, method):
 
 
 def solve_krylov(level, settings, tol=None, atol=None, maxiter=None,
-                 restart=None):
-    """Dispatch on problem type and solver.krylov.method; returns the solution."""
+                 restart=None, mg_cycle=None):
+    """Dispatch on problem type and solver.krylov.method; returns the solution.
+
+    ``mg_cycle`` (optional) is a jitted one-V-cycle closure built by the
+    orchestrator when ``solver.krylov.preconditioner: multigrid`` — Krylov-
+    accelerated multigrid, the standard remedy when a stand-alone cycle
+    stalls (dgtpu extension; the reference's lgmres path never converged,
+    solver.py:79-112).
+    """
     p = _krylov_params(settings, tol, atol, maxiter, restart)
+    if p["precond"] == "multigrid" and mg_cycle is None:
+        raise ValueError("preconditioner 'multigrid' requires the assembled "
+                         "hierarchy; call through DGFEM.solve()")
     if settings.problem.type == "Poisson" or level.block_A is None:
-        u = _solve_poisson(level, **p)
+        u = _solve_poisson(level, mg_cycle=mg_cycle, **p)
     else:
         if p["method"] == "cg":
             raise ValueError("solver.krylov.method 'cg' requires an SPD "
                              "operator; the Stokes saddle system is "
                              "indefinite — use 'gmres'")
         u = _solve_stokes_gmres(level, p["tol"], p["atol"], p["maxiter"],
-                                p["restart"])
+                                p["restart"], mg_cycle=mg_cycle)
     _check_convergence(level.op, level.rhs, u, p["tol"], p["atol"], settings,
                        p["method"])
     return u
 
 
-def _poisson_preconditioner(op, precond):
+def _poisson_preconditioner(op, precond, mg_cycle=None):
+    if precond == "multigrid":
+        # one geometric/p/penalty V-cycle per Krylov iteration — with
+        # symmetric smoothing sweeps the cycle is an SPD operator, so it
+        # is admissible for CG as well as GMRES
+        return mg_cycle
     if precond == "amg":
         # one SA-AMG V-cycle as the preconditioner application — far
         # stronger than the block diagonal for large/ill-conditioned grids
@@ -104,9 +119,10 @@ def _poisson_preconditioner(op, precond):
     return M
 
 
-def _solve_poisson(level, method, precond, tol, atol, maxiter, restart):
+def _solve_poisson(level, method, precond, tol, atol, maxiter, restart,
+                   mg_cycle=None):
     op, rhs = level.op, level.rhs
-    M = _poisson_preconditioner(op, precond)
+    M = _poisson_preconditioner(op, precond, mg_cycle)
     if method == "cg":
         # the SIP operator is SPD (face.py:119-126 symmetry asserts in the
         # reference); the block-diagonal / SA-AMG preconditioners are SPD too
@@ -122,9 +138,16 @@ def _solve_poisson(level, method, precond, tol, atol, maxiter, restart):
     return u
 
 
-def _solve_stokes_gmres(level, tol, atol, maxiter, restart):
+def _solve_stokes_gmres(level, tol, atol, maxiter, restart, mg_cycle=None):
     """Block-diagonal Schur-complement-preconditioned GMRES for the saddle system."""
     op, rhs = level.op, level.rhs
+    if mg_cycle is not None:
+        # DGS-smoothed saddle V-cycle as M: far stronger than the
+        # block-diagonal Schur approximation for the indefinite system
+        u, _ = jax.scipy.sparse.linalg.gmres(
+            op.matvec, rhs, tol=tol, atol=atol, maxiter=maxiter,
+            restart=restart, M=mg_cycle, solve_method="batched")
+        return u
     n, nu, npd = op.sizes
 
     # block-diagonal of A in global layout: per-element 2Nu blocks, but the
