@@ -530,12 +530,16 @@ class ShardedStokesMultigrid:
         use_df32 = defect in ("auto", "df32")
 
         def inner(datas, coarse_inv, Rs, Ps, apacks, rm32, rc32):
-            uv = jnp.zeros_like(rm32)
-            p = jnp.zeros_like(rc32)
-            for _ in range(n_inner):
-                uv, p = self._v_cycle(n_lev - 1, datas, coarse_inv, Rs,
-                                      Ps, apacks, rm32, rc32, uv, p)
-            return uv, p
+            # fori_loop, not Python unrolling: one V-cycle in the HLO
+            # instead of n_inner copies (see halo.py inner; the Stokes
+            # saddle cycle is the larger module, compile went 7 min -> s)
+            def one(_, ep):
+                return self._v_cycle(n_lev - 1, datas, coarse_inv, Rs,
+                                     Ps, apacks, rm32, rc32, *ep)
+
+            return jax.lax.fori_loop(
+                0, n_inner, one,
+                (jnp.zeros_like(rm32), jnp.zeros_like(rc32)))
 
         def solve_local_f64(top64, datas, coarse_inv, Rs, Ps, apacks,
                             f_mom, f_cont, uv0, p0):
