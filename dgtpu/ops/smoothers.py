@@ -140,6 +140,69 @@ def _gs_sweep_packed(op, rhs, u, Dinv, omega, pack):
     return u.reshape(-1)
 
 
+def estimate_rho_dinv_a(op, Dinv=None, iterations=30, seed=7):
+    """Spectral-radius estimate of D^-1 A by power iteration (setup-time).
+
+    Used to set the Chebyshev smoothing interval.  Runs eagerly in the
+    operator's dtype; ~30 iterations give rho to a few percent, and the
+    1.1 safety factor applied by the caller absorbs the slack.
+    """
+    if Dinv is None:
+        Dinv = block_diag_inv(op)
+    n, _, br, _ = op.blocks.shape
+    key = jax.random.PRNGKey(seed)
+    v = jax.random.normal(key, (n * br,), dtype=op.blocks.dtype)
+    v = v / jnp.linalg.norm(v)
+    rho = jnp.asarray(1.0, dtype=v.dtype)
+    for _ in range(int(iterations)):
+        w = jnp.einsum("nij,nj->ni", Dinv,
+                       op.matvec(v).reshape(n, br)).reshape(-1)
+        rho = jnp.linalg.norm(w)
+        v = w / rho
+    return float(rho)
+
+
+def chebyshev(op, rhs, u, degree=3, eig_max=None, eig_ratio=0.3, Dinv=None):
+    """Chebyshev polynomial smoother on the block-Jacobi-preconditioned
+    operator — the TPU-first smoother: ``degree`` stencil matvecs and
+    batched block solves, no sequential sweep, no coloring, no
+    data-dependent control flow (hypre/AMGcl-style; no reference
+    equivalent, relaxation.py has only Jacobi/GS variants).
+
+    Damps the interval [eig_ratio*lmax, lmax] of D^-1 A; ``eig_max``
+    should be a power-iteration estimate (``estimate_rho_dinv_a``) times
+    a ~1.1 safety factor, supplied by the caller at setup.
+    """
+    if Dinv is None:
+        Dinv = block_diag_inv(op)
+    if eig_max is None:
+        eig_max = 1.1 * estimate_rho_dinv_a(op, Dinv)
+    n, _, br, bc = op.blocks.shape
+    lmax = jnp.asarray(eig_max, dtype=rhs.dtype)
+    lmin = eig_ratio * lmax
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma = theta / delta
+
+    def prec_residual(x):
+        r = (rhs - op.matvec(x)).reshape(n, br)
+        return jnp.einsum("nij,nj->ni", Dinv, r).reshape(-1)
+
+    x = u.reshape(-1)
+    d = prec_residual(x) / theta
+    x = x + d
+    rho = 1.0 / sigma
+    # static degree: the three-term recurrence coefficients are python
+    # floats folded into the HLO; degree-k = k matvecs
+    for _ in range(int(degree) - 1):
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        z = prec_residual(x)
+        d = (rho_new * rho) * d + (2.0 * rho_new / delta) * z
+        x = x + d
+        rho = rho_new
+    return x
+
+
 def element_colors(Ni, Nj):
     """Checkerboard coloring of the element grid (m = j*Ni + i)."""
     m = jnp.arange(Ni * Nj)
@@ -193,6 +256,7 @@ SMOOTHER_ALIASES = {
     "block_gauss_seidel_pyamg": "gs",
     "block_gauss_seidel_rb": "gs_rb",
     "distributive_gauss_seidel": "dgs",
+    "chebyshev": "cheby",
 }
 
 
@@ -211,10 +275,20 @@ def normalize_smoother_name(name):
 
 def apply_smoother(name, op, rhs, u, direction="symmetric", omega=1.0,
                    iterations=1, Dinv=None, strategy="sequential", colors=None,
-                   pack=None):
-    """Dispatch a reference smoother string onto the TPU kernels."""
+                   pack=None, eig_max=None):
+    """Dispatch a reference smoother string onto the TPU kernels.
+
+    For ``chebyshev``, ``iterations`` is the polynomial degree and the
+    ``relaxation factor`` slot doubles as the eig_ratio (lower end of the
+    smoothing interval as a fraction of lmax) when set inside (0, 1);
+    the conventional 1.0 maps to the standard 0.3.
+    """
     kind = SMOOTHER_ALIASES[normalize_smoother_name(name)]
     iterations = int(iterations)
+    if kind == "cheby":
+        eig_ratio = omega if 0.0 < omega < 1.0 else 0.3
+        return chebyshev(op, rhs, u, degree=iterations, eig_max=eig_max,
+                         eig_ratio=eig_ratio, Dinv=Dinv)
     if kind == "jacobi":
         return block_jacobi(op, rhs, u, omega=omega, iterations=iterations, Dinv=Dinv)
     if kind == "gs":

@@ -214,6 +214,37 @@ def _block_jacobi_sweep(blocks, Dinv, rhs, u, omega=0.8):
     return omega * unew + (1 - omega) * u
 
 
+def _chebyshev_sweep(blocks, Dinv, rhs, u, degree=3, eig_max=1.0,
+                     eig_ratio=0.3):
+    """Chebyshev polynomial smoother over the mesh — the natural sharded
+    smoother: ``degree`` halo matvecs + batched block solves, no color
+    passes, no extra collectives beyond the matvec's own ppermutes.
+    Mathematically identical to ``ops.smoothers.chebyshev`` (the matvec
+    with halos IS the global matvec).  ``eig_max`` is the setup-time
+    power-iteration bound; a python float folded into the HLO.
+    """
+    lmax = eig_max
+    lmin = eig_ratio * lmax
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma = theta / delta
+
+    def prec_residual(x):
+        r = rhs - _matvec_with_halo(blocks, x)
+        return jnp.einsum("jiab,jib->jia", Dinv, r)
+
+    d = prec_residual(u) / theta
+    u = u + d
+    rho = 1.0 / sigma
+    for _ in range(int(degree) - 1):
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        z = prec_residual(u)
+        d = (rho_new * rho) * d + (2.0 * rho_new / delta) * z
+        u = u + d
+        rho = rho_new
+    return u
+
+
 def _pnorm2(x):
     """Global size-normalized L2 norm across shards."""
     s = jax.lax.psum(jnp.sum(x * x), AXIS)
@@ -373,14 +404,22 @@ class ShardedMultigrid:
         from dgtpu.ops.smoothers import SMOOTHER_ALIASES
         for pair in self.cfgs[1:]:
             for cfg in pair:
-                if SMOOTHER_ALIASES[cfg.name] not in ("gs", "gs_rb", "jacobi"):
+                if SMOOTHER_ALIASES[cfg.name] not in ("gs", "gs_rb",
+                                                      "jacobi", "cheby"):
                     raise ValueError(
                         f"smoother {cfg.name!r} is not supported in sharded "
-                        "mode (Gauss-Seidel and Jacobi families only)")
+                        "mode (Gauss-Seidel, Jacobi and Chebyshev only)")
         self.blocks = [reshape_level(l.op, ni, nj)
                        for l, (ni, nj) in zip(levels, self.dims)]
         from dgtpu.ops.linalg import host_inv
         self.Dinv = [host_inv(b[:, :, 0]) for b in self.blocks]
+        # Chebyshev interval bounds: estimated once at setup on the full
+        # (unsharded) operators — rho(D^-1 A) is a global quantity
+        self.eig_max = [None] * len(levels)
+        if any(SMOOTHER_ALIASES[cfg.name] == "cheby"
+               for pair in self.cfgs[1:] for cfg in pair):
+            from dgtpu.ops.smoothers import estimate_rho_dinv_a
+            self.eig_max = [1.1 * estimate_rho_dinv_a(l.op) for l in levels]
         # color-packed sweeps (per-shard index sets; any rows-per-shard)
         self.pack_host = [ShardColorPack(b, d, nj // n_dev, ni)
                           for (ni, nj), b, d in
@@ -473,6 +512,10 @@ class ShardedMultigrid:
         from dgtpu.ops.smoothers import SMOOTHER_ALIASES
         blocks, Dinv, colors, coarse_inv, packs, Rs, Ps = data
         iters = int(iterations if iterations is not None else cfg.iterations)
+        if SMOOTHER_ALIASES[cfg.name] == "cheby":
+            ratio = cfg.omega if 0.0 < cfg.omega < 1.0 else 0.3
+            return _chebyshev_sweep(blocks[k], Dinv[k], rhs, u, degree=iters,
+                                    eig_max=self.eig_max[k], eig_ratio=ratio)
         if SMOOTHER_ALIASES[cfg.name] == "jacobi":
             for _ in range(iters):
                 u = _block_jacobi_sweep(blocks[k], Dinv[k], rhs, u,
@@ -626,10 +669,13 @@ class ShardedMultigrid:
         use_df32 = defect in ("auto", "df32")
 
         def inner(data, r32):
-            e = jnp.zeros_like(r32)
-            for _ in range(n_inner):
-                e = self._v_cycle(n_lev - 1, data, r32, e)
-            return e
+            # fori_loop, not Python unrolling: the HLO carries ONE V-cycle
+            # instead of n_inner copies — compile time drops ~n_inner-fold
+            # (the dryrun's 8-device CPU compile went minutes -> seconds)
+            def one(_, e):
+                return self._v_cycle(n_lev - 1, data, r32, e)
+
+            return jax.lax.fori_loop(0, n_inner, one, jnp.zeros_like(r32))
 
         def solve_local_f64(b64, blocks, Dinv, colors, coarse_inv, packs,
                             Rs, Ps, rhs, u0):

@@ -67,6 +67,9 @@ class MultigridSolver:
         self._levels = levels
         self.Dinv = [block_diag_inv(op) if hasattr(op, "blocks") else None
                      for op in ops]
+        # Chebyshev smoothing interval: per-level rho(D^-1 A) estimated
+        # eagerly at setup (power iteration), folded into the jitted cycle
+        self.eig_max = [None] * len(ops)
         self.coarse_solver = settings.solver.multigrid.coarse_grid_solver
         # V (reference behavior), W (each coarse sub-hierarchy visited
         # twice) or F (first visit recurses as F, second as V) — dgtpu
@@ -96,6 +99,12 @@ class MultigridSolver:
             node = getattr(settings.solver.multigrid, f"{t}_coarsening")
             self._smoother_cfg[t] = (SmootherConfig.from_settings(node.pre_smoother),
                                      SmootherConfig.from_settings(node.post_smoother))
+        if any(c.name == "chebyshev"
+               for pair in self._smoother_cfg.values() for c in pair):
+            from dgtpu.ops.smoothers import estimate_rho_dinv_a
+            self.eig_max = [1.1 * estimate_rho_dinv_a(op, dv)
+                            if dv is not None else None
+                            for op, dv in zip(ops, self.Dinv)]
         # distributive GS needs eager (host) setup: build the per-level
         # smoother states before tracing the jitted cycle
         uses_dgs = any(c.name == "distributive_gauss_seidel"
@@ -125,7 +134,7 @@ class MultigridSolver:
                               iterations=iterations or cfg.iterations,
                               Dinv=self.Dinv[k],
                               strategy=self.strategy, colors=self.colors[k],
-                              pack=self.packs[k])
+                              pack=self.packs[k], eig_max=self.eig_max[k])
 
     def v_cycle(self, k, rhs, u, mode=None):
         """Level index k = number of levels in this sub-hierarchy (as in solver.py:141).

@@ -12,7 +12,9 @@ Status codes: 0 = converged, 1 = max iterations, 2 = diverged.
 import jax
 import jax.numpy as jnp
 
-from dgtpu.ops.smoothers import apply_smoother, block_diag_inv
+from dgtpu.ops.smoothers import (SMOOTHER_ALIASES, apply_smoother,
+                                 block_diag_inv, estimate_rho_dinv_a,
+                                 normalize_smoother_name)
 from dgtpu.utils.jitting import const_jit
 from dgtpu.utils.norms import lp_norm
 
@@ -27,11 +29,16 @@ def residual_tracked_smoother(op, rhs, u0=None, name="block_gauss_seidel",
     if Dinv is None:
         Dinv = block_diag_inv(op)
     max_iterations = int(max_iterations)
+    # chebyshev: rho(D^-1 A) must be estimated eagerly (power iteration)
+    # before tracing; one "sweep" of the tracked loop is one degree-3
+    # polynomial application (3 matvecs, comparable work to symmetric GS)
+    is_cheby = SMOOTHER_ALIASES[normalize_smoother_name(name)] == "cheby"
+    eig_max = 1.1 * estimate_rho_dinv_a(op, Dinv) if is_cheby else None
 
     def one_sweep(u):
         return apply_smoother(name, op, rhs, u, direction=direction, omega=omega,
-                              iterations=1, Dinv=Dinv, strategy=strategy,
-                              colors=colors)
+                              iterations=3 if is_cheby else 1, Dinv=Dinv,
+                              strategy=strategy, colors=colors, eig_max=eig_max)
 
     @const_jit
     def run(rhs, u0):
@@ -68,6 +75,8 @@ def fixed_sweeps_smoother(op, rhs, u0=None, name="block_gauss_seidel",
     if u0 is None:
         u0 = jnp.zeros_like(rhs)
     Dinv = block_diag_inv(op)
+    is_cheby = SMOOTHER_ALIASES[normalize_smoother_name(name)] == "cheby"
+    eig_max = 1.1 * estimate_rho_dinv_a(op, Dinv) if is_cheby else None
     return apply_smoother(name, op, rhs, u0, direction=direction, omega=omega,
                           iterations=int(iterations), Dinv=Dinv,
-                          strategy=strategy, colors=colors)
+                          strategy=strategy, colors=colors, eig_max=eig_max)

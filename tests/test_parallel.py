@@ -555,3 +555,33 @@ def test_sharded_fvm_tile_misalignment_errors():
     dg = DGFEM(settings=s, solve_multigrid=True)
     with pytest.raises(ValueError, match="tiles"):
         dg.solve()
+
+
+def test_sharded_chebyshev_matches_single_chip(base_settings):
+    """Chebyshev smoothing (matvec-only, dgtpu extension) gives the SAME
+    cycle trajectory sharded and single-chip: the halo matvec IS the
+    global matvec, and the eig bound is estimated once on the full
+    operator either way."""
+    s = base_settings
+    node = s.solver.multigrid.polynomial_coarsening
+    for side in (node.pre_smoother, node.post_smoother):
+        side.smoother = "chebyshev"
+        side.iterations = 3          # polynomial degree
+    lvl, rhs = _setup(s)
+    coarse = GridLevel(Geometry(os.path.join(INPUT_DIR,
+                                             "Rectangle_8X8_nPoly1.xyz"), s),
+                       s, ["u"], {"u": 1}, sigma=4.0)
+    coarse.op, _, _ = assemble_poisson(coarse)
+    t = make_transfer("polynomial", p_fine=2, p_coarse=1)
+
+    mg = ShardedMultigrid([coarse, lvl], [t], s, mesh=make_mesh(8))
+    assert mg.eig_max[1] is not None and mg.eig_max[1] > 0
+    u, res, n = mg.solve(rhs)
+    assert res < 1e-6
+
+    from dgtpu.solvers.multigrid import MultigridSolver
+    mg1 = MultigridSolver([coarse.op, lvl.op], [t], ["polynomial"], s)
+    u1, res1, n1, _ = mg1.solve(rhs)
+    assert int(n) == int(n1)
+    assert np.abs(np.asarray(u) - np.asarray(u1)).max() \
+        < 1e-8 * np.abs(np.asarray(u1)).max() + 1e-12

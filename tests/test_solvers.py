@@ -420,3 +420,71 @@ def test_krylov_multigrid_preconditioner_needs_hierarchy():
     s.update_setting("solver.discretization", "dg")
     with pytest.raises(ValueError, match="coarsening"):
         DGFEM(settings=s, solve_krylov=True)
+
+
+def test_chebyshev_smoother_contracts(base_settings):
+    """Chebyshev is a SMOOTHER: on a high-frequency error (what the coarse
+    grid cannot represent, i.e. what pre-smoothing must kill) degree-3
+    Chebyshev beats 3 damped-Jacobi sweeps at the same matvec count.  On
+    smooth error it may lose — components below eig_ratio*lmax are
+    outside the damped interval by design; multigrid owns those."""
+    from dgtpu.ops.smoothers import (block_diag_inv, block_jacobi, chebyshev,
+                                     estimate_rho_dinv_a)
+
+    lvl, op, rhs = _setup(base_settings, n=8, p_grid=1, p_sol=2, premul=False)
+    Dinv = block_diag_inv(op)
+    rho = estimate_rho_dinv_a(op, Dinv)
+    assert rho > 0
+    # oscillatory error: dominant eigenvector of D^-1 A (top of the
+    # spectrum); solve A u = A e from u0 = 0 so the error IS e
+    rng = np.random.default_rng(3)
+    e = jnp.asarray(rng.standard_normal(np.asarray(rhs).shape))
+    for _ in range(40):
+        w = jnp.einsum("nij,nj->ni", Dinv,
+                       op.matvec(e).reshape(Dinv.shape[0], -1)).reshape(-1)
+        e = w / jnp.linalg.norm(w)
+    b = op.matvec(e)
+    u0 = jnp.zeros_like(b)
+    u_ch = chebyshev(op, b, u0, degree=3, eig_max=1.1 * rho, Dinv=Dinv)
+    u_ja = block_jacobi(op, b, u0, omega=0.8, iterations=3, Dinv=Dinv)
+    err_ch = np.linalg.norm(np.asarray(u_ch) - np.asarray(e))
+    err_ja = np.linalg.norm(np.asarray(u_ja) - np.asarray(e))
+    assert err_ch < err_ja
+    assert err_ch < 0.2   # high-frequency error crushed
+
+
+def test_chebyshev_multigrid_converges():
+    """Flagship p+geometric multigrid smoothed by degree-3 Chebyshev."""
+    from dgtpu.api import DGFEM
+    from dgtpu.settings import Settings, load_params
+
+    params = load_params()
+    params["grid"]["filename"] = "Rectangle_8X8_nPoly5.xyz"
+    for c in ("polynomial coarsening", "geometric coarsening"):
+        for w in ("pre smoother", "post smoother"):
+            params["solver"]["multigrid"][c][w]["smoother"] = "chebyshev"
+            params["solver"]["multigrid"][c][w]["iterations"] = 3
+    params["visualization"]["export"] = False
+    params["visualization"]["automatically open paraview"] = False
+    params["logging"]["loglevel"] = "ERROR"
+    params["caching"]["enabled"] = False
+    s = Settings(params)
+    s.solver.method = "multigrid"
+    s.update_setting("solver.discretization", "dg")
+    dg = DGFEM(settings=s, solve_multigrid=True)
+    dg.solve()
+    assert dg.residuals[-1] < 1e-6
+    assert len(dg.residuals) - 1 <= 15
+
+
+def test_chebyshev_standalone_smoother_driver(base_settings):
+    """The residual-tracked smoother driver accepts chebyshev (one tracked
+    'sweep' = one degree-3 application; eig bound estimated eagerly)."""
+    from dgtpu.solvers.relaxation_driver import residual_tracked_smoother
+
+    lvl, op, rhs = _setup(base_settings, n=4, p_grid=1, p_sol=2, premul=False)
+    u, hist, n, status = residual_tracked_smoother(
+        op, rhs, name="chebyshev", max_iterations=400, tol=1e-6)
+    assert int(status) == 0
+    hist = np.asarray(hist)
+    assert hist[np.isfinite(hist)][-1] < 1e-6
