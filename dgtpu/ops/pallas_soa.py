@@ -404,7 +404,8 @@ class SoAVCycle(PallasVCycle):
             out.append(acc)
         return tuple(out)
 
-    def _soa_cycle(self, k, consts, rhs01, u01):
+    def _soa_cycle(self, k, consts, rhs01, u01, mode=None):
+        mode = mode or self.cycle_type
         levels, Rs, Ps, coarse = consts
         if k == 0:
             return self._soa_coarse_solve(levels, coarse, rhs01, u01)
@@ -413,9 +414,11 @@ class SoAVCycle(PallasVCycle):
         r01 = self._soa_residual(k, levels[k], rhs01, u01)
         rc01 = self._soa_restrict(k - 1, Rs[k - 1], r01)
         zc = tuple(jnp.zeros_like(r) for r in rc01)
-        ec01 = self._soa_cycle(k - 1, consts, rc01, zc)
-        if self.cycle_type == "W" and k - 1 > 0:
-            ec01 = self._soa_cycle(k - 1, consts, rc01, ec01)
+        ec01 = self._soa_cycle(k - 1, consts, rc01, zc, mode=mode)
+        if mode in ("W", "F") and k - 1 > 0:
+            # F revisits with a plain V (MultigridSolver.v_cycle semantics)
+            ec01 = self._soa_cycle(k - 1, consts, rc01, ec01,
+                                   mode="W" if mode == "W" else "V")
         p01 = self._soa_prolong(k - 1, Ps[k - 1], ec01)
         u01 = tuple(u + p for u, p in zip(u01, p01))
         return self._soa_smooth(k, levels[k], rhs01, u01, 2 * post)

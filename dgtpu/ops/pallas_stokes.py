@@ -171,12 +171,9 @@ class SoAStokesVCycle:
 
         self.cycle_type = str(getattr(settings.solver.multigrid,
                                       "cycle_type", "V")).upper()
-        if self.cycle_type not in ("V", "W"):
-            # F-cycles (and anything else) run on the generic XLA path
-            # (solvers/multigrid.py) -- error early instead of silently
-            # degrading to V
+        if self.cycle_type not in ("V", "W", "F"):
             raise NotImplementedError(
-                f"the fused Stokes kernel implements V and W, not "
+                f"the fused Stokes kernel implements V, W and F, not "
                 f"{self.cycle_type!r}")
         self.coarse_solver = settings.solver.multigrid.coarse_grid_solver
         if self.coarse_solver in ("direct", "amg"):
@@ -507,7 +504,8 @@ class SoAStokesVCycle:
             out_p.append(acc[2 * nu:])
         return tuple(out_uv), tuple(out_p)
 
-    def _cycle(self, k, consts, f_mom01, f_cont01, uv01, p01):
+    def _cycle(self, k, consts, f_mom01, f_cont01, uv01, p01, mode=None):
+        mode = mode or self.cycle_type
         levels, Rs, Ps, coarse = consts
         if k == 0:
             return self._coarse_solve(consts, f_mom01, f_cont01, uv01, p01)
@@ -521,10 +519,12 @@ class SoAStokesVCycle:
         z_uv = tuple(jnp.zeros_like(r) for r in rc_mom01)
         z_p = tuple(jnp.zeros_like(r) for r in rc_cont01)
         ec_uv, ec_p = self._cycle(k - 1, consts, rc_mom01, rc_cont01,
-                                  z_uv, z_p)
-        if self.cycle_type == "W" and k - 1 > 0:
+                                  z_uv, z_p, mode=mode)
+        if mode in ("W", "F") and k - 1 > 0:
+            # F revisits with a plain V (MultigridSolver.v_cycle semantics)
             ec_uv, ec_p = self._cycle(k - 1, consts, rc_mom01, rc_cont01,
-                                      ec_uv, ec_p)
+                                      ec_uv, ec_p,
+                                      mode="W" if mode == "W" else "V")
         pe_uv, pe_p = self._prolong(k - 1, Ps[k - 1], ec_uv, ec_p)
         uv01 = tuple(u + e for u, e in zip(uv01, pe_uv))
         p01 = tuple(q + e for q, e in zip(p01, pe_p))

@@ -101,12 +101,9 @@ class PallasVCycle:
                 self.evens.append(rolled.parity_mask(nj, dtype))
         self.cycle_type = str(getattr(settings.solver.multigrid,
                                       "cycle_type", "V")).upper()
-        if self.cycle_type not in ("V", "W"):
-            # F-cycles (and anything else) run on the generic XLA path
-            # (solvers/multigrid.py) -- error early instead of silently
-            # degrading to V
+        if self.cycle_type not in ("V", "W", "F"):
             raise NotImplementedError(
-                f"the fused kernels implement V and W, not "
+                f"the fused kernels implement V, W and F, not "
                 f"{self.cycle_type!r}")
         self.coarse_solver = settings.solver.multigrid.coarse_grid_solver
         if self.coarse_solver in ("direct", "amg"):
@@ -205,7 +202,8 @@ class PallasVCycle:
 
         return jax.lax.fori_loop(0, nj * ni, body, jnp.zeros_like(rhs))
 
-    def _cycle(self, k, consts, rhs, u):
+    def _cycle(self, k, consts, rhs, u, mode=None):
+        mode = mode or self.cycle_type
         if k == 0:
             return self._coarse_solve(consts, rhs, u)
         _, _, _, Rs, Ps, _ = consts
@@ -213,9 +211,11 @@ class PallasVCycle:
         u = self._smooth(k, consts, rhs, u, 2 * pre)
         r = self._residual(k, consts, rhs, u)
         r_c = self._restrict(k - 1, Rs[k - 1], r)
-        e_c = self._cycle(k - 1, consts, r_c, jnp.zeros_like(r_c))
-        if self.cycle_type == "W" and k - 1 > 0:
-            e_c = self._cycle(k - 1, consts, r_c, e_c)
+        e_c = self._cycle(k - 1, consts, r_c, jnp.zeros_like(r_c), mode=mode)
+        if mode in ("W", "F") and k - 1 > 0:
+            # F revisits with a plain V (MultigridSolver.v_cycle semantics)
+            e_c = self._cycle(k - 1, consts, r_c, e_c,
+                              mode="W" if mode == "W" else "V")
         u = u + self._prolong(k - 1, Ps[k - 1], e_c)
         u = self._smooth(k, consts, rhs, u, 2 * post)
         return u

@@ -454,12 +454,9 @@ class ShardedMultigrid:
         self.max_cycles = int(settings.solver.multigrid.max_cycles)
         self.cycle_type = str(getattr(settings.solver.multigrid,
                                       "cycle_type", "V")).upper()
-        if self.cycle_type not in ("V", "W"):
-            # F-cycles (and anything else) run on the generic XLA path
-            # (solvers/multigrid.py) -- error early instead of silently
-            # degrading to V
+        if self.cycle_type not in ("V", "W", "F"):
             raise NotImplementedError(
-                f"the sharded multigrid implements V and W, not "
+                f"the sharded multigrid implements V, W and F, not "
                 f"{self.cycle_type!r}")
         self._built = None
 
@@ -527,7 +524,8 @@ class ShardedMultigrid:
         return _rb_gs_sweep_packed(packs[k], rhs, u, omega=cfg.omega,
                                    n_pass=n_pass)
 
-    def _v_cycle(self, k, data, rhs, u):
+    def _v_cycle(self, k, data, rhs, u, mode=None):
+        mode = mode or self.cycle_type
         blocks, Dinv, colors, coarse_inv, packs, Rs, Ps = data
         if k == 0:
             if self.coarse_solver not in ("direct", "amg"):
@@ -546,9 +544,11 @@ class ShardedMultigrid:
         u = self._smooth(k, data, rhs, u, pre)
         r = rhs - _matvec_with_halo(blocks[k], u)
         r_c = self._restrict(k, Rs[k - 1], r)
-        e_c = self._v_cycle(k - 1, data, r_c, jnp.zeros_like(r_c))
-        if self.cycle_type == "W" and k - 1 > 0:
-            e_c = self._v_cycle(k - 1, data, r_c, e_c)
+        e_c = self._v_cycle(k - 1, data, r_c, jnp.zeros_like(r_c), mode=mode)
+        if mode in ("W", "F") and k - 1 > 0:
+            # F revisits with a plain V (MultigridSolver.v_cycle semantics)
+            e_c = self._v_cycle(k - 1, data, r_c, e_c,
+                                mode="W" if mode == "W" else "V")
         u = u + self._prolong(k, Ps[k - 1], e_c)
         u = self._smooth(k, data, rhs, u, post)
         return u

@@ -313,12 +313,9 @@ class ShardedStokesMultigrid:
         self.max_cycles = int(settings.solver.multigrid.max_cycles)
         self.cycle_type = str(getattr(settings.solver.multigrid,
                                       "cycle_type", "V")).upper()
-        if self.cycle_type not in ("V", "W"):
-            # F-cycles (and anything else) run on the generic XLA path
-            # (solvers/multigrid.py) -- error early instead of silently
-            # degrading to V
+        if self.cycle_type not in ("V", "W", "F"):
             raise NotImplementedError(
-                f"the sharded Stokes multigrid implements V and W, not "
+                f"the sharded Stokes multigrid implements V, W and F, not "
                 f"{self.cycle_type!r}")
         self._built = None
 
@@ -361,7 +358,8 @@ class ShardedStokesMultigrid:
         return v
 
     def _v_cycle(self, k, datas, coarse_inv, Rs, Ps, apacks, f_mom, f_cont,
-                 uv, p):
+                 uv, p, mode=None):
+        mode = mode or self.cycle_type
         if k == 0:
             return self._coarse_solve(coarse_inv, f_mom, f_cont)
         data = datas[k]
@@ -376,10 +374,13 @@ class ShardedStokesMultigrid:
         fc_cont = self._restrict_field(k, Rp, r_cont)
         e_uv, e_p = self._v_cycle(k - 1, datas, coarse_inv, Rs, Ps, apacks,
                                   fc_mom, fc_cont,
-                                  jnp.zeros_like(fc_mom), jnp.zeros_like(fc_cont))
-        if self.cycle_type == "W" and k - 1 > 0:
+                                  jnp.zeros_like(fc_mom),
+                                  jnp.zeros_like(fc_cont), mode=mode)
+        if mode in ("W", "F") and k - 1 > 0:
+            # F revisits with a plain V (MultigridSolver.v_cycle semantics)
             e_uv, e_p = self._v_cycle(k - 1, datas, coarse_inv, Rs, Ps,
-                                      apacks, fc_mom, fc_cont, e_uv, e_p)
+                                      apacks, fc_mom, fc_cont, e_uv, e_p,
+                                      mode="W" if mode == "W" else "V")
         Puv, Pp = Ps[k - 1]
         uv = uv + self._prolong_field(k, Puv, e_uv)
         p = p + self._prolong_field(k, Pp, e_p)

@@ -129,6 +129,14 @@ class MultigridSolver:
             for _ in range(int(iterations or cfg.iterations)):
                 u = self._dgs[k].sweep(rhs, u)
             return u
+        if cfg.name == "chebyshev" and self.eig_max[k] is None:
+            # Stokes saddle operators have no block-stencil form to power-
+            # iterate; fail at trace time with an actionable message
+            # instead of a ConcretizationTypeError inside the jitted cycle
+            raise ValueError(
+                "chebyshev smoothing needs a block-stencil operator (level "
+                f"{k} has none); use distributive_gauss_seidel for saddle "
+                "systems")
         return apply_smoother(cfg.name, self.ops[k], rhs, u,
                               direction=cfg.direction, omega=cfg.omega,
                               iterations=iterations or cfg.iterations,

@@ -138,3 +138,29 @@ def test_soa_rejects_odd_ni(flagship):
         SoAVCycle([l.op for l in dg.levels], dg.transfers,
                   dg.transfer_types, dg.settings, bad_dims,
                   dtype=jnp.float64, interpret=True)
+
+
+def test_soa_f_cycle_between_v_and_w(flagship):
+    """cycle_type: F in the fused kernels: first coarse visit recurses as
+    F, the revisit as a plain V — contraction between V and W."""
+    import copy
+
+    dg = flagship
+    dims = [(l.Nj, l.Ni) for l in dg.levels]
+    op = dg.levels[-1].op
+    rhs = dg.levels[-1].rhs
+
+    def run(cycle):
+        s = copy.deepcopy(dg.settings)
+        s.solver.multigrid.cycle_type = cycle
+        sv = SoAVCycle([l.op for l in dg.levels], dg.transfers,
+                       dg.transfer_types, s, dims,
+                       dtype=jnp.float64, interpret=True)
+        fn = sv.build_xla()
+        u = jnp.zeros_like(rhs)
+        for _ in range(2):
+            u = fn(rhs, u)
+        return float(jnp.linalg.norm(rhs - op.matvec(u)))
+
+    rv, rf, rw = run("V"), run("F"), run("W")
+    assert rw <= rf * 1.05 and rf <= rv * 1.05

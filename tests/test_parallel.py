@@ -585,3 +585,26 @@ def test_sharded_chebyshev_matches_single_chip(base_settings):
     assert int(n) == int(n1)
     assert np.abs(np.asarray(u) - np.asarray(u1)).max() \
         < 1e-8 * np.abs(np.asarray(u1)).max() + 1e-12
+
+
+def test_sharded_f_cycle(base_settings):
+    """cycle_type: F in the sharded multigrid (previously NotImplemented):
+    converges, contraction between V and W."""
+    s = base_settings
+    lvl, rhs = _setup(s)
+    coarse = GridLevel(Geometry(os.path.join(INPUT_DIR,
+                                             "Rectangle_8X8_nPoly1.xyz"), s),
+                       s, ["u"], {"u": 1}, sigma=4.0)
+    coarse.op, _, _ = assemble_poisson(coarse)
+    t = make_transfer("polynomial", p_fine=2, p_coarse=1)
+
+    def run(cycle):
+        s.update_setting("solver.multigrid.cycle_type", cycle)
+        mg = ShardedMultigrid([coarse, lvl], [t], s, mesh=make_mesh(8))
+        u, res, n = mg.solve(rhs)
+        assert res < 1e-6
+        return int(n)
+
+    n_v, n_f, n_w = run("V"), run("F"), run("W")
+    s.update_setting("solver.multigrid.cycle_type", "V")
+    assert n_w <= n_f <= n_v
