@@ -436,12 +436,8 @@ class DGFEM:
         from dgtpu.solvers.refinement import make_refined_solver
         from dgtpu.utils.device import setup_scope
 
-        if bool(getattr(self.settings.solver.multigrid,
-                        "full_multigrid", False)):
-            self.logger.warning(
-                "solver.multigrid.full_multigrid is implemented on the "
-                "generic single-chip path only; the mixed-precision "
-                "refinement starts from a zero guess")
+        fmg_on = bool(getattr(self.settings.solver.multigrid,
+                              "full_multigrid", False))
 
         s = self.settings
         # precision: mixed exists to deliver f64-parity accuracy at f32
@@ -478,42 +474,44 @@ class DGFEM:
                 [l.op for l in self.levels], dims, self.transfers)
         big = fused_bytes > budget
         cyc = None
+        builder = None
         with setup_scope():
             try:
                 if stokes and big and on_tpu:
                     from dgtpu.ops.pallas_stokes_stream import \
                         StreamedStokesVCycle
-                    shv = StreamedStokesVCycle(self.levels, self.transfers,
-                                               self.transfer_types, s,
-                                               dtype=jnp.float32)
-                    cyc = shv.build()
+                    builder = StreamedStokesVCycle(
+                        self.levels, self.transfers, self.transfer_types, s,
+                        dtype=jnp.float32)
+                    cyc = builder.build()
                     kind = "streamed Stokes hybrid"
                 elif stokes and big:
                     raise ValueError("the Stokes hierarchy exceeds the "
                                      "fused-kernel VMEM budget (CPU backend)")
                 elif stokes:
                     from dgtpu.ops.pallas_stokes import SoAStokesVCycle
-                    sv = SoAStokesVCycle(self.levels, self.transfers,
-                                         self.transfer_types, s,
-                                         dtype=jnp.float32)
-                    cyc = sv.build() if on_tpu else sv.build_xla()
+                    builder = SoAStokesVCycle(self.levels, self.transfers,
+                                              self.transfer_types, s,
+                                              dtype=jnp.float32)
+                    cyc = builder.build() if on_tpu else builder.build_xla()
                     kind = "SoA fused" if on_tpu else "SoA (XLA)"
                 elif big and on_tpu:
                     from dgtpu.ops.pallas_stream import StreamedVCycle
-                    hv = StreamedVCycle([l.op for l in self.levels],
-                                        self.transfers, self.transfer_types,
-                                        s, dims, dtype=jnp.float32)
-                    cyc = hv.build()
+                    builder = StreamedVCycle([l.op for l in self.levels],
+                                             self.transfers,
+                                             self.transfer_types,
+                                             s, dims, dtype=jnp.float32)
+                    cyc = builder.build()
                     kind = "streamed hybrid"
                 elif big:
                     raise ValueError("hierarchy exceeds the fused-kernel "
                                      "VMEM budget (CPU backend)")
                 else:
                     from dgtpu.ops.pallas_soa import SoAVCycle
-                    sv = SoAVCycle([l.op for l in self.levels],
-                                   self.transfers, self.transfer_types, s,
-                                   dims, dtype=jnp.float32)
-                    cyc = sv.build() if on_tpu else sv.build_xla()
+                    builder = SoAVCycle([l.op for l in self.levels],
+                                        self.transfers, self.transfer_types,
+                                        s, dims, dtype=jnp.float32)
+                    cyc = builder.build() if on_tpu else builder.build_xla()
                     kind = "SoA fused" if on_tpu else "SoA (XLA)"
             except (ValueError, NotImplementedError) as e:
                 if stokes:
@@ -527,14 +525,24 @@ class DGFEM:
                 self.logger.info(f"SoA fused cycle unavailable ({e}); "
                                  "falling back to the rolled XLA cycle")
                 from dgtpu.ops.pallas_vcycle import PallasVCycle
-                pv = PallasVCycle([l.op for l in self.levels],
-                                  self.transfers, self.transfer_types, s,
-                                  dims, dtype=jnp.float32)
-                cyc = pv.build_xla()
+                builder = PallasVCycle([l.op for l in self.levels],
+                                       self.transfers, self.transfer_types,
+                                       s, dims, dtype=jnp.float32)
+                cyc = builder.build_xla()
                 kind = "rolled (XLA)"
-        refined = make_refined_solver(finest.op, cyc, n_inner=6, tol=tol)
         rhs = finest.rhs
-        u, res, n, hist = refined(rhs, jnp.zeros_like(rhs))
+        u0 = jnp.zeros_like(rhs)
+        if fmg_on:
+            # FMG nested-iteration guess in f32 through the same fused/
+            # streamed hierarchy; the refinement tolerance then normalizes
+            # by ||rhs|| so it keeps its relative-to-zero-iterate meaning
+            with setup_scope():
+                fmg = builder.build_fmg()
+            u0 = fmg(rhs.astype(jnp.float32)).astype(rhs.dtype)
+            kind += " + FMG guess"
+        refined = make_refined_solver(finest.op, cyc, n_inner=6, tol=tol,
+                                      normalize="rhs" if fmg_on else "u0")
+        u, res, n, hist = refined(rhs, u0)
         self.residuals = [float(r) for r in np.asarray(hist)
                           if np.isfinite(r)]
         self.logger.info(

@@ -423,6 +423,42 @@ class SoAVCycle(PallasVCycle):
         u01 = tuple(u + p for u, p in zip(u01, p01))
         return self._soa_smooth(k, levels[k], rhs01, u01, 2 * post)
 
+    def _soa_fmg(self, consts, rhs01):
+        """Full-multigrid (nested-iteration) guess in SoA layout.
+
+        Restricts the rhs through the hierarchy, solves the coarsest level,
+        then prolongs upward running one configured cycle per level — the
+        fused-path analog of MultigridSolver.fmg_guess (which the reference
+        lacks entirely; its solver iterates from zero, solver.py:114-139).
+        """
+        levels, Rs, Ps, coarse = consts
+        rhss = [rhs01]
+        for k in range(self.n_lev - 1, 0, -1):
+            rhss.append(self._soa_restrict(k - 1, Rs[k - 1], rhss[-1]))
+        rhss = rhss[::-1]                       # coarsest first
+        z = tuple(jnp.zeros_like(r) for r in rhss[0])
+        u01 = self._soa_coarse_solve(levels, coarse, rhss[0], z)
+        for k in range(1, self.n_lev):
+            u01 = self._soa_prolong(k - 1, Ps[k - 1], u01)
+            u01 = self._soa_cycle(k, consts, rhss[k], u01)
+        return u01
+
+    def build_fmg(self):
+        """fmg(rhs) -> u0: the FMG guess as one jitted XLA graph.
+
+        Runs once per solve, so the plain-XLA build is used even on TPU
+        (a second Mosaic kernel compile is not worth a one-shot pass)."""
+        flat, rebuild = self._flat_consts()
+        consts = rebuild(flat)
+
+        @const_jit
+        def fmg(rhs):
+            r01 = self._to_soa(rhs.astype(self.dtype))
+            u01 = self._soa_fmg(consts, r01)
+            return self._from_soa(*u01)
+
+        return fmg
+
     # -- layout conversion (XLA side) ----------------------------------------
 
     def _to_soa(self, v):

@@ -530,6 +530,41 @@ class SoAStokesVCycle:
         p01 = tuple(q + e for q, e in zip(p01, pe_p))
         return self._smooth(k, levels[k], f_mom01, f_cont01, uv01, p01, post)
 
+    def _fmg(self, consts, f_mom01, f_cont01):
+        """Full-multigrid (nested-iteration) guess on the Stokes saddle
+        hierarchy: restrict (f_mom, f_cont) to the coarsest level, solve,
+        prolong upward with one configured cycle per level.  Fused-path
+        analog of MultigridSolver.fmg_guess."""
+        levels, Rs, Ps, coarse = consts
+        rhss = [(f_mom01, f_cont01)]
+        for k in range(self.n_lev - 1, 0, -1):
+            rhss.append(self._restrict(k - 1, Rs[k - 1], *rhss[-1]))
+        rhss = rhss[::-1]                       # coarsest first
+        fm, fc = rhss[0]
+        z_uv = tuple(jnp.zeros_like(r) for r in fm)
+        z_p = tuple(jnp.zeros_like(r) for r in fc)
+        uv01, p01 = self._coarse_solve(consts, fm, fc, z_uv, z_p)
+        for k in range(1, self.n_lev):
+            uv01, p01 = self._prolong(k - 1, Ps[k - 1], uv01, p01)
+            uv01, p01 = self._cycle(k, consts, rhss[k][0], rhss[k][1],
+                                    uv01, p01)
+        return uv01, p01
+
+    def build_fmg(self):
+        """fmg(rhs) -> u0: the FMG guess as one jitted XLA graph (one-shot
+        pass — not worth a second Mosaic kernel compile)."""
+        flat, rebuild = self._flat_consts()
+        consts = rebuild(flat)
+
+        @const_jit
+        def fmg(rhs):
+            self._masked(consts)
+            f = self._to_soa(rhs.astype(self.dtype))
+            uv01, p01 = self._fmg(consts, (f[0], f[1]), (f[2], f[3]))
+            return self._from_soa(uv01[0], uv01[1], p01[0], p01[1])
+
+        return fmg
+
     # -- layout conversion (XLA side) -----------------------------------------
 
     def _to_soa(self, x):

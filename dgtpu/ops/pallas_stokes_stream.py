@@ -366,3 +366,29 @@ class StreamedStokesVCycle:
 
         self._fn = one_cycle
         return one_cycle
+
+    def build_fmg(self):
+        """fmg(rhs) -> u0: FMG guess through the hybrid Stokes hierarchy
+        (fused subtree contributes its own XLA FMG pass; streamed levels
+        restrict down / one cycle per level up).  One-shot per solve — no
+        new Mosaic kernel is compiled."""
+        if getattr(self.sub, "_fn", None) is None:
+            self.sub.build()
+        sub_fmg = self.sub.build_fmg()
+        top = self.n_lev - 1
+
+        @const_jit
+        def fmg(rhs):
+            rhss = [self._from_flat(top, rhs.astype(self.dtype))]
+            for k in range(top, self.cut - 1, -1):
+                rhss.append(self._restrict(k - 1, *rhss[-1]))
+            rhss = rhss[::-1]               # level cut-1 first
+            u_flat = sub_fmg(self._to_flat(self.cut - 1, *rhss[0]))
+            uv01, p01 = self._from_flat(self.cut - 1, u_flat)
+            for i, k in enumerate(range(self.cut, self.n_lev)):
+                uv01, p01 = self._prolong(k - 1, uv01, p01)
+                uv01, p01 = self._cycle(k, rhss[i + 1][0], rhss[i + 1][1],
+                                        uv01, p01)
+            return self._to_flat(top, uv01, p01)
+
+        return fmg

@@ -623,3 +623,32 @@ class StreamedVCycle:
 
         self._fn = one_cycle
         return one_cycle
+
+    def build_fmg(self):
+        """fmg(rhs) -> u0: FMG guess through the hybrid hierarchy.
+
+        The fused subtree contributes its own (XLA) FMG pass; the streamed
+        levels above it restrict the rhs down and run one cycle per level
+        on the way back up.  One-shot per solve, so the streamed kernels
+        (already built for the cycle) are reused but no new Mosaic kernel
+        is compiled."""
+        if self.sub._fn is None:
+            self.sub.build()
+        sub_fmg = self.sub.build_fmg()
+        nj, ni = self.dims[-1]
+
+        @const_jit
+        def fmg(rhs):
+            B = rhs.size // (nj * ni)
+            r = rhs.astype(self.dtype).reshape(nj, ni, B)
+            rhss = [r]
+            for k in range(self.n_lev - 1, self.cut - 1, -1):
+                rhss.append(self._restrict(k - 1, rhss[-1]))
+            rhss = rhss[::-1]               # level cut-1 first
+            u = sub_fmg(rhss[0].reshape(-1)).reshape(rhss[0].shape)
+            for i, k in enumerate(range(self.cut, self.n_lev)):
+                u = self._prolong(k - 1, u)
+                u = self._cycle(k, rhss[i + 1], u)
+            return u.reshape(rhs.shape)
+
+        return fmg

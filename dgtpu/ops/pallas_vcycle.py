@@ -220,6 +220,36 @@ class PallasVCycle:
         u = self._smooth(k, consts, rhs, u, 2 * post)
         return u
 
+    def _fmg(self, consts, rhs):
+        """Full-multigrid (nested-iteration) guess in rolled layout:
+        restrict the rhs to the coarsest level, solve, prolong upward with
+        one configured cycle per level (MultigridSolver.fmg_guess analog)."""
+        _, _, _, Rs, Ps, _ = consts
+        rhss = [rhs]
+        for k in range(self.n_lev - 1, 0, -1):
+            rhss.append(self._restrict(k - 1, Rs[k - 1], rhss[-1]))
+        rhss = rhss[::-1]                   # coarsest first
+        u = self._coarse_solve(consts, rhss[0], jnp.zeros_like(rhss[0]))
+        for k in range(1, self.n_lev):
+            u = self._prolong(k - 1, Ps[k - 1], u)
+            u = self._cycle(k, consts, rhss[k], u)
+        return u
+
+    def build_fmg(self):
+        """fmg(rhs) -> u0: the FMG guess as one jitted XLA graph (one-shot
+        per solve — not worth a Mosaic kernel compile)."""
+        nj, ni = self.dims[-1]
+        B = self.blocks[-1].shape[-1]
+        consts = self._host_consts() + (list(self.R), list(self.P),
+                                        self.coarse_inv_col)
+
+        @const_jit
+        def fmg(rhs):
+            r = rhs.reshape(nj, ni, B).astype(self.dtype)
+            return self._fmg(consts, r).reshape(-1)
+
+        return fmg
+
     # ---- kernel construction -------------------------------------------------
 
     def _host_consts(self):

@@ -33,16 +33,23 @@ from dgtpu.utils.norms import lp_norm
 
 
 def make_refined_solver(op64, cycle32, n_inner=8, tol=1e-10, max_outer=20,
-                        defect="auto"):
+                        defect="auto", normalize="u0"):
     """Build a jitted mixed-precision solver.
 
     ``op64``: the float64 operator (matvec).  ``cycle32(rhs32, u32)``: one
     float32 V-cycle.  ``defect``: 'f64', 'df32', or 'auto' (df32 when the
     operator type has a compensated path, f64 otherwise).
+    ``normalize``: 'u0' divides residuals by ||b - A u0|| (the classic
+    relative criterion for a zero guess); 'rhs' divides by ||b|| — use this
+    when u0 is an FMG guess, so the tolerance keeps its
+    relative-to-zero-iterate meaning instead of demanding ``tol`` *beyond*
+    the already-good start (same rule as MultigridSolver._build_solve).
     Returns solve(rhs64, u0) -> (u, res, n_outer, history).
     """
     if defect not in ("auto", "df32", "f64"):
         raise ValueError(defect)
+    if normalize not in ("u0", "rhs"):
+        raise ValueError(normalize)
     if defect in ("auto", "df32"):
         from dgtpu.ops.df32 import DF32Unsupported, make_df32_residual
         try:
@@ -57,8 +64,10 @@ def make_refined_solver(op64, cycle32, n_inner=8, tol=1e-10, max_outer=20,
             logging.getLogger("dgtpu").info(
                 f"df32 defect unavailable ({e}); using the f64 defect")
         else:
-            return _make_df32_solver(df, cycle32, n_inner, tol, max_outer)
-    return _make_f64_solver(op64, cycle32, n_inner, tol, max_outer)
+            return _make_df32_solver(df, cycle32, n_inner, tol, max_outer,
+                                     normalize)
+    return _make_f64_solver(op64, cycle32, n_inner, tol, max_outer,
+                            normalize)
 
 
 def _inner(cycle32, n_inner, r32):
@@ -68,7 +77,8 @@ def _inner(cycle32, n_inner, r32):
     return e
 
 
-def _make_f64_solver(op64, cycle32, n_inner, tol, max_outer):
+def _make_f64_solver(op64, cycle32, n_inner, tol, max_outer,
+                     normalize="u0"):
     # op64 is passed as a jit ARGUMENT (it is a registered pytree), not
     # captured by closure: closure-captured arrays become HLO literals, and
     # the emulated-f64 operator blocks are by far the largest array in the
@@ -77,7 +87,7 @@ def _make_f64_solver(op64, cycle32, n_inner, tol, max_outer):
     @const_jit
     def solve_with_op(op64, rhs, u0):
         r0 = rhs - op64.matvec(u0)
-        res0 = lp_norm(r0, 2)
+        res0 = lp_norm(rhs, 2) if normalize == "rhs" else lp_norm(r0, 2)
         hist0 = jnp.full((max_outer + 1,), jnp.nan, dtype=rhs.dtype)
 
         def cond(state):
@@ -94,7 +104,7 @@ def _make_f64_solver(op64, cycle32, n_inner, tol, max_outer):
             return n + 1, u, r, res, hist
 
         state = (jnp.asarray(0, dtype=jnp.int32), u0, r0,
-                 jnp.asarray(1.0, dtype=rhs.dtype), hist0)
+                 lp_norm(r0, 2) / res0, hist0)
         n, u, r, res, hist = jax.lax.while_loop(cond, body, state)
         hist = hist.at[n].set(res)
         return u, res, n, hist
@@ -105,7 +115,8 @@ def _make_f64_solver(op64, cycle32, n_inner, tol, max_outer):
     return solve
 
 
-def _make_df32_solver(df, cycle32, n_inner, tol, max_outer):
+def _make_df32_solver(df, cycle32, n_inner, tol, max_outer,
+                      normalize="u0"):
     from dgtpu.ops.df32 import (pair_add_f32, pair_norm2, pair_to_f64,
                                 split_f64)
 
@@ -114,7 +125,8 @@ def _make_df32_solver(df, cycle32, n_inner, tol, max_outer):
     @const_jit
     def solve_with_df(df, b_hi, b_lo, u_hi, u_lo):
         r_hi, r_lo = df(b_hi, b_lo, u_hi, u_lo)
-        res0 = pair_norm2(r_hi, r_lo)
+        res0 = (pair_norm2(b_hi, b_lo) if normalize == "rhs"
+                else pair_norm2(r_hi, r_lo))
         hist0 = jnp.full((max_outer + 1,), jnp.nan, dtype=jnp.float32)
 
         def cond(state):
@@ -133,7 +145,7 @@ def _make_df32_solver(df, cycle32, n_inner, tol, max_outer):
             return n + 1, u_hi, u_lo, r_hi, r_lo, res, hist
 
         state = (jnp.asarray(0, dtype=jnp.int32), u_hi, u_lo, r_hi, r_lo,
-                 jnp.asarray(1.0, dtype=jnp.float32), hist0)
+                 pair_norm2(r_hi, r_lo) / res0, hist0)
         n, u_hi, u_lo, r_hi, r_lo, res, hist = \
             jax.lax.while_loop(cond, body, state)
         hist = hist.at[n].set(res)

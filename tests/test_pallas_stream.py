@@ -102,6 +102,25 @@ def test_streamed_vcycle_matches_fused(flagship):
     assert r < 5e-2
 
 
+def test_streamed_fmg_guess(flagship):
+    """StreamedVCycle.build_fmg: the hybrid FMG guess lands well below the
+    zero iterate (fused subtree FMG + one streamed cycle per upper level)."""
+    dg = flagship
+    dims = [(l.Nj, l.Ni) for l in dg.levels]
+    ops = [l.op for l in dg.levels]
+    hv = StreamedVCycle(ops, dg.transfers, dg.transfer_types, dg.settings,
+                        dims, dtype=jnp.float64, interpret=True,
+                        vmem_budget=2 * 1024 * 1024, chunk_lanes=8)
+    assert hv.cut < hv.n_lev
+    hv.build()
+    fmg = hv.build_fmg()
+    rhs = dg.levels[-1].rhs
+    u0 = fmg(rhs)
+    op = dg.levels[-1].op
+    r = float(jnp.linalg.norm(rhs - op.matvec(u0)) / jnp.linalg.norm(rhs))
+    assert r < 0.1, f"streamed FMG guess too weak: {r}"
+
+
 def test_streamed_level_ogrid_periodic():
     """Periodic i-wrap (O-grid) survives chunking."""
     from dgtpu.api import DGFEM

@@ -99,6 +99,85 @@ def test_precision_mixed_fvm_falls_back_to_full():
     assert dg.residuals[-1] < 1e-6
 
 
+def test_precision_mixed_fmg_seeds_refinement():
+    """full multigrid + precision mixed: the FMG f32 guess seeds the
+    refinement (api._solve_multigrid_mixed), so the first recorded residual
+    starts far below 1 and the outer loop needs no more rounds than the
+    zero-guess run, with the same solution (VERDICT r3 item 5)."""
+    from dgtpu.api import DGFEM
+    from dgtpu.settings import Settings, load_params
+
+    def run(fmg):
+        params = load_params()
+        params["grid"]["filename"] = "Rectangle_8X8_nPoly2.xyz"
+        params["grid"]["polynomial degree"] = 2
+        params["solution"]["u"]["polynomial degree"] = 2
+        params["solver"]["multigrid"]["polynomial coarsening"]["levels"]["u"] = "1,2"
+        params["solver"]["multigrid"]["full multigrid"] = fmg
+        params["performance"]["precision"] = "mixed"
+        params["visualization"]["export"] = False
+        params["visualization"]["automatically open paraview"] = False
+        params["logging"]["loglevel"] = "ERROR"
+        params["caching"]["enabled"] = False
+        s = Settings(params)
+        s.solver.method = "multigrid"
+        s.update_setting("solver.discretization", "dg")
+        dg = DGFEM(settings=s, solve_multigrid=True)
+        dg.solve()
+        return dg
+
+    plain = run(False)
+    fmg = run(True)
+    assert fmg.residuals[-1] < 1e-10
+    # the FMG guess starts the outer loop orders below the zero guess
+    assert fmg.residuals[0] < 5e-2
+    assert len(fmg.residuals) <= len(plain.residuals)
+    assert np.isclose(fmg.L2_error_u, plain.L2_error_u, rtol=1e-8)
+
+
+def test_fused_stokes_fmg_guess():
+    """SoAStokesVCycle.build_fmg: the nested-iteration guess lands well
+    below the zero iterate on the saddle system."""
+    import jax.numpy as jnp
+
+    from dgtpu.api import DGFEM
+    from dgtpu.ops.pallas_stokes import SoAStokesVCycle
+    from dgtpu.settings import Settings, load_params
+
+    params = load_params()
+    params["problem"]["type"] = "Stokes"
+    params["grid"]["filename"] = "Rectangle_4X4_nPoly2.xyz"
+    params["grid"]["polynomial degree"] = 2
+    params["solution"]["u"]["polynomial degree"] = 2
+    params["solution"]["p"]["polynomial degree"] = 1
+    params["solution"]["ordering"] = "global"
+    mgp = params["solver"]["multigrid"]
+    mgp["penalty parameter coarsening"]["enabled"] = False
+    mgp["polynomial coarsening"]["enabled"] = True
+    mgp["polynomial coarsening"]["levels"]["u"] = "1,2"
+    mgp["geometric coarsening"]["enabled"] = False
+    for w in ("pre smoother", "post smoother"):
+        mgp["polynomial coarsening"][w]["smoother"] = "distributive_gauss_seidel"
+    mgp["coarse grid solver"] = "direct"
+    params["performance"]["dgs_splitting"] = "lsq"
+    params["visualization"]["export"] = False
+    params["visualization"]["automatically open paraview"] = False
+    params["logging"]["loglevel"] = "ERROR"
+    params["caching"]["enabled"] = False
+    s = Settings(params)
+    s.solver.method = "multigrid"
+    s.update_setting("solver.discretization", "dg")
+    dg = DGFEM(settings=s, solve_multigrid=True)
+    sv = SoAStokesVCycle(dg.levels, dg.transfers, dg.transfer_types, s,
+                         dtype=jnp.float32)
+    fmg = sv.build_fmg()
+    rhs = dg.levels[-1].rhs
+    u0 = fmg(rhs.astype(jnp.float32)).astype(rhs.dtype)
+    op = dg.levels[-1].op
+    r = float(jnp.linalg.norm(rhs - op.matvec(u0)) / jnp.linalg.norm(rhs))
+    assert r < 0.1, f"Stokes FMG guess too weak: {r}"
+
+
 def test_precision_mixed_api_stokes():
     """Mixed precision on the Stokes saddle system (fused DGS inner cycle)."""
     from dgtpu.api import DGFEM

@@ -115,3 +115,17 @@ def test_streamed_stokes_refines_to_1e10(stokes_mg):
     refined = make_refined_solver(op, cyc, n_inner=6, tol=1e-10)
     u, res, n, _ = refined(rhs, jnp.zeros_like(rhs))
     assert float(res) < 1e-10
+
+
+def test_streamed_stokes_fmg_guess(stokes_mg):
+    """StreamedStokesVCycle.build_fmg: the hybrid FMG guess lands well
+    below the zero iterate on the saddle system."""
+    dg = stokes_mg
+    hv = _hybrid(dg)
+    hv.build()
+    fmg = hv.build_fmg()
+    rhs = dg.levels[-1].rhs
+    u0 = fmg(rhs)
+    op = dg.levels[-1].op
+    r = float(jnp.linalg.norm(rhs - op.matvec(u0)) / jnp.linalg.norm(rhs))
+    assert r < 0.1, f"streamed Stokes FMG guess too weak: {r}"
