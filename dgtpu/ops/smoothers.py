@@ -275,18 +275,31 @@ def normalize_smoother_name(name):
 
 def apply_smoother(name, op, rhs, u, direction="symmetric", omega=1.0,
                    iterations=1, Dinv=None, strategy="sequential", colors=None,
-                   pack=None, eig_max=None):
+                   pack=None, eig_max=None, eig_ratio=None):
     """Dispatch a reference smoother string onto the TPU kernels.
 
-    For ``chebyshev``, ``iterations`` is the polynomial degree and the
-    ``relaxation factor`` slot doubles as the eig_ratio (lower end of the
-    smoothing interval as a fraction of lmax) when set inside (0, 1);
-    the conventional 1.0 maps to the standard 0.3.
+    For ``chebyshev``, ``iterations`` is the polynomial degree.  The
+    smoothing-interval lower end comes from ``eig_ratio`` (fraction of
+    lmax); when it is None, a ``relaxation factor`` inside (0, 1) is
+    reinterpreted as eig_ratio **with a warning** — an omega carried over
+    from a damped-Jacobi config would otherwise silently narrow the
+    interval and weaken the smoother (advisor r3, smoothers.py:289).  The
+    conventional omega=1.0 maps to the standard 0.3.
     """
     kind = SMOOTHER_ALIASES[normalize_smoother_name(name)]
     iterations = int(iterations)
     if kind == "cheby":
-        eig_ratio = omega if 0.0 < omega < 1.0 else 0.3
+        if eig_ratio is None:
+            if 0.0 < omega < 1.0:
+                import logging
+                logging.getLogger("dgtpu").warning(
+                    "chebyshev: relaxation factor omega=%g is being "
+                    "reinterpreted as eig_ratio (smoothing interval "
+                    "[%g*lmax, lmax]); set an explicit 'eig ratio' on the "
+                    "smoother node to silence this", omega, omega)
+                eig_ratio = omega
+            else:
+                eig_ratio = 0.3
         return chebyshev(op, rhs, u, degree=iterations, eig_max=eig_max,
                          eig_ratio=eig_ratio, Dinv=Dinv)
     if kind == "jacobi":

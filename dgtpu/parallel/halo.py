@@ -214,15 +214,20 @@ def _block_jacobi_sweep(blocks, Dinv, rhs, u, omega=0.8):
     return omega * unew + (1 - omega) * u
 
 
-def _chebyshev_sweep(blocks, Dinv, rhs, u, degree=3, eig_max=1.0,
+def _chebyshev_sweep(blocks, Dinv, rhs, u, degree, eig_max,
                      eig_ratio=0.3):
     """Chebyshev polynomial smoother over the mesh — the natural sharded
     smoother: ``degree`` halo matvecs + batched block solves, no color
     passes, no extra collectives beyond the matvec's own ppermutes.
     Mathematically identical to ``ops.smoothers.chebyshev`` (the matvec
-    with halos IS the global matvec).  ``eig_max`` is the setup-time
-    power-iteration bound; a python float folded into the HLO.
+    with halos IS the global matvec).  ``eig_max`` is REQUIRED — the
+    setup-time power-iteration bound (a python float folded into the HLO);
+    an underestimated default would make Chebyshev amplify the modes above
+    the interval instead of failing loudly (advisor r3, halo.py:217).
     """
+    if eig_max is None:
+        raise ValueError("chebyshev needs an eig_max bound "
+                         "(estimate_rho_dinv_a at setup)")
     lmax = eig_max
     lmin = eig_ratio * lmax
     theta = 0.5 * (lmax + lmin)
@@ -414,12 +419,26 @@ class ShardedMultigrid:
         from dgtpu.ops.linalg import host_inv
         self.Dinv = [host_inv(b[:, :, 0]) for b in self.blocks]
         # Chebyshev interval bounds: estimated once at setup on the full
-        # (unsharded) operators — rho(D^-1 A) is a global quantity
-        self.eig_max = [None] * len(levels)
-        if any(SMOOTHER_ALIASES[cfg.name] == "cheby"
-               for pair in self.cfgs[1:] for cfg in pair):
-            from dgtpu.ops.smoothers import estimate_rho_dinv_a
-            self.eig_max = [1.1 * estimate_rho_dinv_a(l.op) for l in levels]
+        # (unsharded) operators — rho(D^-1 A) is a global quantity.  Only
+        # levels whose own pre/post smoother is chebyshev pay the 30 eager
+        # power iterations (the finest level's would otherwise dominate
+        # setup even for configs that only smooth coarse levels with it —
+        # advisor r3, halo.py:422); level 0 needs one only when the coarse
+        # solve falls back to smoothing with cfgs[1]'s pre-smoother.
+        from dgtpu.ops.smoothers import estimate_rho_dinv_a
+
+        _coarse = str(settings.solver.multigrid.coarse_grid_solver)
+
+        def _uses_cheby(k):
+            if k == 0:
+                return (_coarse not in ("direct", "amg") and
+                        SMOOTHER_ALIASES[self.cfgs[1][0].name] == "cheby")
+            return any(SMOOTHER_ALIASES[cfg.name] == "cheby"
+                       for cfg in self.cfgs[k])
+
+        self.eig_max = [1.1 * estimate_rho_dinv_a(l.op)
+                        if _uses_cheby(k) else None
+                        for k, l in enumerate(levels)]
         # color-packed sweeps (per-shard index sets; any rows-per-shard)
         self.pack_host = [ShardColorPack(b, d, nj // n_dev, ni)
                           for (ni, nj), b, d in
@@ -510,7 +529,10 @@ class ShardedMultigrid:
         blocks, Dinv, colors, coarse_inv, packs, Rs, Ps = data
         iters = int(iterations if iterations is not None else cfg.iterations)
         if SMOOTHER_ALIASES[cfg.name] == "cheby":
-            ratio = cfg.omega if 0.0 < cfg.omega < 1.0 else 0.3
+            if cfg.eig_ratio is not None:
+                ratio = cfg.eig_ratio
+            else:
+                ratio = cfg.omega if 0.0 < cfg.omega < 1.0 else 0.3
             return _chebyshev_sweep(blocks[k], Dinv[k], rhs, u, degree=iters,
                                     eig_max=self.eig_max[k], eig_ratio=ratio)
         if SMOOTHER_ALIASES[cfg.name] == "jacobi":

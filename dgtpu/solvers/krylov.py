@@ -49,8 +49,15 @@ def _krylov_params(settings, tol, atol, maxiter, restart):
     }
 
 
-def _check_convergence(op, rhs, u, tol, atol, settings, method):
-    """Post-solve residual audit: jax gmres/cg discard the info flag."""
+def _check_convergence(op, rhs, u, tol, atol, settings, method,
+                       strict=False):
+    """Post-solve residual audit: jax gmres/cg discard the info flag.
+
+    ``strict=True`` raises instead of warning — used for combinations
+    whose failure mode is a silently wrong answer rather than slow
+    convergence (CG with a non-SPD preconditioner misconverges without
+    any error signal from jax.scipy).
+    """
     # scipy-style stopping criterion: ||b - Au||_2 <= max(tol*||b||_2, atol)
     res = float(jnp.linalg.norm(rhs - op.matvec(u)))
     rhs_norm = float(jnp.linalg.norm(rhs))
@@ -58,13 +65,57 @@ def _check_convergence(op, rhs, u, tol, atol, settings, method):
     normalized = res / rhs_norm if rhs_norm > 0 else res
     logger = Logger(__name__, settings).logger
     if not np.isfinite(res) or res > bound:
-        logger.warning(
-            f"Krylov ({method}) did NOT reach tolerance: ||b-Au||={res:.3e} "
-            f"(normalized {normalized:.3e}) > max(tol*||b||, atol)={bound:.3e}")
+        msg = (f"Krylov ({method}) did NOT reach tolerance: "
+               f"||b-Au||={res:.3e} (normalized {normalized:.3e}) > "
+               f"max(tol*||b||, atol)={bound:.3e}")
+        if strict:
+            raise RuntimeError(msg)
+        logger.warning(msg)
     else:
         logger.info(f"Krylov ({method}) converged: normalized residual "
                     f"{normalized:.3e}")
     return normalized
+
+
+# smoothers whose sweep operator is symmetric on its own (so equal pre/post
+# counts already make the V-cycle SPD regardless of sweep direction)
+_SELF_ADJOINT_SMOOTHERS = {"jacobi", "block_jacobi", "chebyshev"}
+
+
+def _validate_spd_cycle(settings):
+    """CG demands an SPD preconditioner.  A multigrid V-cycle is SPD only
+    when each level's post-smoother is the adjoint of its pre-smoother with
+    equal sweep counts (e.g. forward GS pre + backward GS post, or an
+    inherently symmetric smoother).  The default paramfile uses forward/
+    forward DGS-style sweeps, which yield a NONsymmetric M — jax CG then
+    misconverges with no error signal.  Raise early with an actionable
+    message instead (advisor r3, krylov.py:99)."""
+    from dgtpu.ops.smoothers import normalize_smoother_name
+    mgs = settings.solver.multigrid
+    for t in ("penalty_parameter", "polynomial", "geometric"):
+        node = getattr(mgs, f"{t}_coarsening", None)
+        if node is None or not bool(getattr(node, "enabled", False)):
+            continue
+        pre, post = node.pre_smoother, node.post_smoother
+        name_pre = normalize_smoother_name(pre.smoother)
+        name_post = normalize_smoother_name(post.smoother)
+        ok = (name_pre == name_post
+              and int(pre.iterations) == int(post.iterations))
+        if ok and name_pre not in _SELF_ADJOINT_SMOOTHERS:
+            dirs = (str(getattr(pre, "direction", "forward")).lower(),
+                    str(getattr(post, "direction", "forward")).lower())
+            ok = dirs in (("forward", "backward"), ("backward", "forward"),
+                          ("symmetric", "symmetric"))
+        if not ok:
+            raise ValueError(
+                f"solver.krylov.method 'cg' with preconditioner 'multigrid' "
+                f"needs a symmetric cycle, but the {t} coarsening smoothing "
+                f"is not self-adjoint (pre={pre.smoother}/"
+                f"{getattr(pre, 'direction', '?')}x{pre.iterations}, "
+                f"post={post.smoother}/{getattr(post, 'direction', '?')}x"
+                f"{post.iterations}).  Use adjoint directions "
+                f"(forward/backward), symmetric sweeps, a self-adjoint "
+                f"smoother (jacobi/chebyshev), or method 'gmres'.")
 
 
 def solve_krylov(level, settings, tol=None, atol=None, maxiter=None,
@@ -81,6 +132,9 @@ def solve_krylov(level, settings, tol=None, atol=None, maxiter=None,
     if p["precond"] == "multigrid" and mg_cycle is None:
         raise ValueError("preconditioner 'multigrid' requires the assembled "
                          "hierarchy; call through DGFEM.solve()")
+    cg_mg = p["method"] == "cg" and p["precond"] == "multigrid"
+    if cg_mg:
+        _validate_spd_cycle(settings)
     if settings.problem.type == "Poisson" or level.block_A is None:
         u = _solve_poisson(level, mg_cycle=mg_cycle, **p)
     else:
@@ -90,8 +144,10 @@ def solve_krylov(level, settings, tol=None, atol=None, maxiter=None,
                              "indefinite — use 'gmres'")
         u = _solve_stokes_gmres(level, p["tol"], p["atol"], p["maxiter"],
                                 p["restart"], mg_cycle=mg_cycle)
+    # cg+multigrid: a residual miss here means CG misconverged on a subtly
+    # non-SPD M — a wrong answer, not slow convergence; fail loudly
     _check_convergence(level.op, level.rhs, u, p["tol"], p["atol"], settings,
-                       p["method"])
+                       p["method"], strict=cg_mg)
     return u
 
 

@@ -23,16 +23,21 @@ from dgtpu.utils.norms import lp_norm
 
 
 class SmootherConfig:
-    def __init__(self, name, direction, iterations, omega):
+    def __init__(self, name, direction, iterations, omega, eig_ratio=None):
         self.name = normalize_smoother_name(name)
         self.direction = direction
         self.iterations = int(iterations)
         self.omega = float(omega)
+        # chebyshev smoothing-interval lower end (fraction of lmax); an
+        # optional 'eig ratio' key on the smoother node — explicit, so the
+        # relaxation factor never has to double as it (advisor r3)
+        self.eig_ratio = None if eig_ratio is None else float(eig_ratio)
 
     @classmethod
     def from_settings(cls, node):
         return cls(node.smoother, node.direction, node.iterations,
-                   node.relaxation_factor)
+                   node.relaxation_factor,
+                   eig_ratio=getattr(node, "eig_ratio", None))
 
 
 class MultigridSolver:
@@ -102,9 +107,24 @@ class MultigridSolver:
         if any(c.name == "chebyshev"
                for pair in self._smoother_cfg.values() for c in pair):
             from dgtpu.ops.smoothers import estimate_rho_dinv_a
+
+            def uses_cheby(k):
+                # level k smooths with its transfer's config (k>=1); the
+                # coarsest level only smooths when there is no cached
+                # coarse inverse (then with the pre-smoother of types[0])
+                if k == 0:
+                    return (self.coarse_inv is None and
+                            self._smoother_cfg[types[0]][0].name
+                            == "chebyshev")
+                pre, post = self._smoother_cfg[types[k - 1]]
+                return "chebyshev" in (pre.name, post.name)
+
+            # estimate rho(D^-1 A) only on levels that actually smooth
+            # with chebyshev: the 30 eager power iterations on the finest
+            # operator dominate setup otherwise (advisor r3, halo.py:422)
             self.eig_max = [1.1 * estimate_rho_dinv_a(op, dv)
-                            if dv is not None else None
-                            for op, dv in zip(ops, self.Dinv)]
+                            if dv is not None and uses_cheby(k) else None
+                            for k, (op, dv) in enumerate(zip(ops, self.Dinv))]
         # distributive GS needs eager (host) setup: build the per-level
         # smoother states before tracing the jitted cycle
         uses_dgs = any(c.name == "distributive_gauss_seidel"
@@ -142,7 +162,8 @@ class MultigridSolver:
                               iterations=iterations or cfg.iterations,
                               Dinv=self.Dinv[k],
                               strategy=self.strategy, colors=self.colors[k],
-                              pack=self.packs[k], eig_max=self.eig_max[k])
+                              pack=self.packs[k], eig_max=self.eig_max[k],
+                              eig_ratio=cfg.eig_ratio)
 
     def v_cycle(self, k, rhs, u, mode=None):
         """Level index k = number of levels in this sub-hierarchy (as in solver.py:141).

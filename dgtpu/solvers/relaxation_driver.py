@@ -22,22 +22,31 @@ from dgtpu.utils.norms import lp_norm
 def residual_tracked_smoother(op, rhs, u0=None, name="block_gauss_seidel",
                               direction="symmetric", max_iterations=100,
                               tol=1e-6, div_tol=1e10, omega=1.0,
-                              strategy="sequential", colors=None, Dinv=None):
-    """Sweep-until-converged smoother solve; returns (u, residuals, n, status)."""
+                              strategy="sequential", colors=None, Dinv=None,
+                              degree=3):
+    """Sweep-until-converged smoother solve; returns (u, residuals, n, status).
+
+    ``degree`` is the Chebyshev polynomial degree applied per tracked sweep
+    (ignored for other smoothers) — the same knob ``fixed_sweeps_smoother``
+    exposes through its ``iterations`` argument, so both drivers honor the
+    configured setting (advisor r3, relaxation_driver.py:40).
+    """
     if u0 is None:
         u0 = jnp.zeros_like(rhs)
     if Dinv is None:
         Dinv = block_diag_inv(op)
     max_iterations = int(max_iterations)
     # chebyshev: rho(D^-1 A) must be estimated eagerly (power iteration)
-    # before tracing; one "sweep" of the tracked loop is one degree-3
-    # polynomial application (3 matvecs, comparable work to symmetric GS)
+    # before tracing; one "sweep" of the tracked loop is one degree-`degree`
+    # polynomial application (default 3 matvecs, comparable work to
+    # symmetric GS)
     is_cheby = SMOOTHER_ALIASES[normalize_smoother_name(name)] == "cheby"
     eig_max = 1.1 * estimate_rho_dinv_a(op, Dinv) if is_cheby else None
 
     def one_sweep(u):
         return apply_smoother(name, op, rhs, u, direction=direction, omega=omega,
-                              iterations=3 if is_cheby else 1, Dinv=Dinv,
+                              iterations=int(degree) if is_cheby else 1,
+                              Dinv=Dinv,
                               strategy=strategy, colors=colors, eig_max=eig_max)
 
     @const_jit

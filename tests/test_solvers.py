@@ -399,6 +399,52 @@ def test_krylov_multigrid_preconditioner_stokes():
     assert dg.residual / float(lp_norm(lvl.rhs, 2)) < 1e-6
 
 
+def test_krylov_cg_multigrid_requires_symmetric_cycle():
+    """CG + preconditioner 'multigrid': a V-cycle is SPD only when the
+    post-smoother is the pre-smoother's adjoint with equal counts.  The
+    forward/forward default must raise early (jax CG misconverges silently
+    on a non-SPD M — advisor r3); adjoint forward/backward sweeps are
+    accepted and converge."""
+    from dgtpu.api import DGFEM
+    from dgtpu.settings import Settings, load_params
+
+    def make(pre_dir, post_dir):
+        params = load_params()
+        params["grid"]["filename"] = "Rectangle_4X4_nPoly2.xyz"
+        params["grid"]["polynomial degree"] = 2
+        params["solution"]["u"]["polynomial degree"] = 3
+        mgp = params["solver"]["multigrid"]
+        mgp["polynomial coarsening"]["levels"]["u"] = "3,1"
+        mgp["polynomial coarsening"]["pre smoother"]["direction"] = pre_dir
+        mgp["polynomial coarsening"]["post smoother"]["direction"] = post_dir
+        mgp["polynomial coarsening"]["post smoother"]["iterations"] = \
+            mgp["polynomial coarsening"]["pre smoother"]["iterations"]
+        # the default geometric node is symmetric x2 pre / x1 post — equal
+        # counts are required for a symmetric cycle, so pin them
+        mgp["geometric coarsening"]["post smoother"]["iterations"] = \
+            mgp["geometric coarsening"]["pre smoother"]["iterations"]
+        mgp["coarse grid solver"] = "direct"
+        params["solver"]["krylov"]["preconditioner"] = "multigrid"
+        params["solver"]["krylov"]["method"] = "cg"
+        params["solver"]["krylov"]["max iterations"] = 40
+        params["visualization"]["export"] = False
+        params["visualization"]["automatically open paraview"] = False
+        params["logging"]["loglevel"] = "ERROR"
+        params["caching"]["enabled"] = False
+        s = Settings(params)
+        s.solver.method = "krylov"
+        s.update_setting("solver.discretization", "dg")
+        return DGFEM(settings=s, solve_krylov=True)
+
+    with pytest.raises(ValueError, match="symmetric cycle"):
+        make("forward", "forward").solve()
+
+    dg = make("forward", "backward")
+    dg.solve()
+    from dgtpu.utils.norms import lp_norm
+    assert dg.residual / float(lp_norm(dg.levels[-1].rhs, 2)) < 1e-7
+
+
 def test_krylov_multigrid_preconditioner_needs_hierarchy():
     """preconditioner: multigrid with every coarsening disabled fails early
     with an actionable message instead of a shape error mid-solve."""
