@@ -455,16 +455,23 @@ def stokes_vcycle_metric(reps=100, n=8, use_pallas=True):
     out["v_cycle_ms"] = min(out["xla_ms"], out.get("soa_fused_ms",
                                                    out["xla_ms"]))
 
-    # time-to-1e-10 via mixed-precision refinement (BASELINE parity metric)
+    # time-to-1e-10 via mixed-precision refinement (BASELINE parity metric),
+    # FMG-seeded (build_fmg on the fused builder)
     try:
         from dgtpu.solvers.refinement import make_refined_solver
-        refined = make_refined_solver(op, best_cycle, n_inner=6, tol=1e-10)
+        with setup_scope():
+            fmg = sv.build_fmg()
+        refined = make_refined_solver(op, best_cycle, n_inner=6, tol=1e-10,
+                                      normalize="rhs")
         import jax as _j
-        u_r, res_r, n_r, _ = _j.block_until_ready(
-            refined(rhs64, jnp.zeros_like(rhs64)))
+
+        def solve_once():
+            u0 = fmg(rhs).astype(rhs64.dtype)
+            return _j.block_until_ready(refined(rhs64, u0))
+
+        u_r, res_r, n_r, _ = solve_once()
         t0 = time.perf_counter()
-        u_r, res_r, n_r, _ = _j.block_until_ready(
-            refined(rhs64, jnp.zeros_like(rhs64)))
+        u_r, res_r, n_r, _ = solve_once()
         out["time_to_1e-10_ms"] = round((time.perf_counter() - t0) * 1e3, 3)
         out["refined_outer_iters"] = int(n_r)
         out["refined_residual"] = float(res_r)
@@ -558,12 +565,19 @@ def stokes_streamed_metric(reps=50, n=32):
         print(f"# stokes streamed bf16 failed: {type(e).__name__}: {e}",
               file=sys.stderr)
 
-    refined = make_refined_solver(op, one, n_inner=6, tol=1e-10)
-    u_r, res_r, n_r, _ = jax.block_until_ready(
-        refined(rhs64, jnp.zeros_like(rhs64)))
+    # FMG-seeded mixed-precision refinement to the 1e-10 parity target
+    with setup_scope():
+        fmg = hv.build_fmg()
+    refined = make_refined_solver(op, one, n_inner=6, tol=1e-10,
+                                  normalize="rhs")
+
+    def solve_once():
+        u0 = fmg(rhs).astype(rhs64.dtype)
+        return jax.block_until_ready(refined(rhs64, u0))
+
+    u_r, res_r, n_r, _ = solve_once()
     t0 = time.perf_counter()
-    u_r, res_r, n_r, _ = jax.block_until_ready(
-        refined(rhs64, jnp.zeros_like(rhs64)))
+    u_r, res_r, n_r, _ = solve_once()
     out["time_to_1e-10_ms"] = round((time.perf_counter() - t0) * 1e3, 3)
     out["refined_outer_iters"] = int(n_r)
     out["refined_residual"] = float(res_r)
@@ -759,7 +773,10 @@ def measure_flagship(args, grid_n, gate=True, refine=True):
     # per-dispatch tunnel overhead, reported separately)
     t_amortized, t_fixed = time_per_iter(many_cycles, rhs, u0, args.reps)
 
-    # time-to-1e-10 via mixed-precision refinement (f64 defect, f32 cycles)
+    # time-to-1e-10 via mixed-precision refinement (f64 defect, f32 cycles),
+    # seeded with the f32 FMG nested-iteration guess (starts the outer loop
+    # ~2 orders below zero; tolerance normalized by ||rhs|| so the 1e-10
+    # criterion keeps its zero-iterate meaning)
     t_refine = None
     res_r = n_r = None
     if refine and args.dtype != "float64":
@@ -770,12 +787,20 @@ def measure_flagship(args, grid_n, gate=True, refine=True):
         # tolerate infra flakes here (the emulated-f64 refinement graph is
         # the largest compile of the run) — keep the latency numbers
         try:
-            refined = make_refined_solver(op64, cyc32, n_inner=6, tol=1e-10)
-            u_r, res_r, n_r, _ = jax.block_until_ready(
-                refined(rhs64d, jnp.zeros_like(rhs64d)))
+            @const_jit
+            def fmg32(r):
+                return mg.fmg_guess(r)
+
+            refined = make_refined_solver(op64, cyc32, n_inner=6, tol=1e-10,
+                                          normalize="rhs")
+
+            def solve_once():
+                u0 = fmg32(rhs).astype(rhs64d.dtype)
+                return jax.block_until_ready(refined(rhs64d, u0))
+
+            u_r, res_r, n_r, _ = solve_once()
             t0 = time.perf_counter()
-            u_r, res_r, n_r, _ = jax.block_until_ready(
-                refined(rhs64d, jnp.zeros_like(rhs64d)))
+            u_r, res_r, n_r, _ = solve_once()
             t_refine = (time.perf_counter() - t0) * 1e3
             assert float(res_r) < 1e-10, float(res_r)
         except AssertionError:
