@@ -575,12 +575,16 @@ class DGFEM:
                 "count=N for a virtual CPU mesh)")
         mesh = make_mesh(n_shards)
         finest = self.levels[-1]
-        if bool(getattr(self.settings.solver.multigrid,
-                        "full_multigrid", False)):
+        if (precision == "mixed"
+                and bool(getattr(self.settings.solver.multigrid,
+                                 "full_multigrid", False))):
+            # the full-precision sharded solvers run the FMG guess inside
+            # shard_map (halo._fmg / stokes_halo._fmg); the sharded f64
+            # defect loop does not — its outer rounds start from zero
             self.logger.warning(
-                "solver.multigrid.full_multigrid is implemented on the "
-                "generic single-chip path only; the sharded solve starts "
-                "from a zero guess")
+                "solver.multigrid.full_multigrid does not seed the sharded "
+                "mixed-precision refinement; its outer loop starts from a "
+                "zero guess")
         # smoother kind/direction/iterations/relaxation factor and the
         # coarse-grid solver all come from the per-coarsening paramfile
         # nodes inside the sharded solvers, same as the single-chip path

@@ -477,6 +477,8 @@ class ShardedMultigrid:
             raise NotImplementedError(
                 f"the sharded multigrid implements V, W and F, not "
                 f"{self.cycle_type!r}")
+        self.full_multigrid = bool(getattr(settings.solver.multigrid,
+                                           "full_multigrid", False))
         self._built = None
 
     def _restrict(self, k, R, r):
@@ -575,6 +577,25 @@ class ShardedMultigrid:
         u = self._smooth(k, data, rhs, u, post)
         return u
 
+    def _fmg(self, data, rhs):
+        """Full-multigrid (nested-iteration) guess, shard-local.
+
+        The restrict/prolong are element-local or shard-local agglomeration
+        (no communication beyond the cycles' own halo ppermutes), so the
+        FMG chain runs entirely inside shard_map — same semantics as
+        MultigridSolver.fmg_guess."""
+        _, _, _, _, _, Rs, Ps = data
+        n_lev = len(self.levels)
+        rhss = [rhs]
+        for k in range(n_lev - 1, 0, -1):
+            rhss.append(self._restrict(k, Rs[k - 1], rhss[-1]))
+        rhss = rhss[::-1]                   # coarsest first
+        u = self._v_cycle(0, data, rhss[0], jnp.zeros_like(rhss[0]))
+        for k in range(1, n_lev):
+            u = self._prolong(k, Ps[k - 1], u)
+            u = self._v_cycle(k, data, rhss[k], u)
+        return u
+
     def build(self):
         """Construct the jitted sharded solve function."""
         shard_map = jax.shard_map
@@ -591,7 +612,15 @@ class ShardedMultigrid:
         def solve_local(blocks, Dinv, colors, coarse_inv, packs, Rs, Ps,
                         rhs, u0):
             data = (blocks, Dinv, colors, coarse_inv, packs, Rs, Ps)
-            res0 = _pnorm2(rhs - _matvec_with_halo(blocks[-1], u0))
+            if self.full_multigrid:
+                # FMG guess; normalization stays ||rhs|| so "res <= tol"
+                # keeps its relative-to-zero-iterate meaning (same rule as
+                # MultigridSolver._build_solve)
+                u0 = u0 + self._fmg(data,
+                                    rhs - _matvec_with_halo(blocks[-1], u0))
+                res0 = _pnorm2(rhs)
+            else:
+                res0 = _pnorm2(rhs - _matvec_with_halo(blocks[-1], u0))
             hist0 = jnp.full((max_cycles + 1,), jnp.nan, dtype=rhs.dtype)
 
             def cond(state):
@@ -606,9 +635,9 @@ class ShardedMultigrid:
                 return n + 1, u, res, hist
 
             n0 = jnp.asarray(0, dtype=jnp.int32)
-            one = jnp.asarray(1.0, dtype=rhs.dtype)
+            res_init = _pnorm2(rhs - _matvec_with_halo(blocks[-1], u0)) / res0
             n, u, res, hist = jax.lax.while_loop(cond, body,
-                                                 (n0, u0, one, hist0))
+                                                 (n0, u0, res_init, hist0))
             hist = hist.at[n].set(res)
             return u, res, n, hist
 

@@ -317,6 +317,8 @@ class ShardedStokesMultigrid:
             raise NotImplementedError(
                 f"the sharded Stokes multigrid implements V, W and F, not "
                 f"{self.cycle_type!r}")
+        self.full_multigrid = bool(getattr(settings.solver.multigrid,
+                                           "full_multigrid", False))
         self._built = None
 
     # -- V-cycle (statically unrolled over levels) ---------------------------
@@ -389,6 +391,27 @@ class ShardedStokesMultigrid:
                                apack=apack)
         return uv, p
 
+    def _fmg(self, datas, coarse_inv, Rs, Ps, apacks, f_mom, f_cont):
+        """Full-multigrid (nested-iteration) guess, shard-local: restrict
+        the saddle rhs to the coarsest level, solve, prolong upward with
+        one configured cycle per level (MultigridSolver.fmg_guess analog)."""
+        n_lev = len(self.levels)
+        rhss = [(f_mom, f_cont)]
+        for k in range(n_lev - 1, 0, -1):
+            Ruv, Rp = Rs[k - 1]
+            fm, fc = rhss[-1]
+            rhss.append((self._restrict_field(k, Ruv, fm),
+                         self._restrict_field(k, Rp, fc)))
+        rhss = rhss[::-1]                   # coarsest first
+        uv, p = self._coarse_solve(coarse_inv, rhss[0][0], rhss[0][1])
+        for k in range(1, n_lev):
+            Puv, Pp = Ps[k - 1]
+            uv = self._prolong_field(k, Puv, uv)
+            p = self._prolong_field(k, Pp, p)
+            uv, p = self._v_cycle(k, datas, coarse_inv, Rs, Ps, apacks,
+                                  rhss[k][0], rhss[k][1], uv, p)
+        return uv, p
+
     def build(self):
         shard_map = jax.shard_map
         mesh = self.mesh
@@ -402,8 +425,19 @@ class ShardedStokesMultigrid:
 
         def solve_local(datas, coarse_inv, Rs, Ps, apacks, f_mom, f_cont,
                         uv0, p0):
-            r0m, r0c = _saddle_residual(datas[-1], f_mom, f_cont, uv0, p0)
-            res0 = _pnorm_pair(r0m, r0c)
+            if self.full_multigrid:
+                # FMG guess on the defect; normalization stays ||rhs|| so
+                # "res <= tol" keeps its relative-to-zero-iterate meaning
+                r0m, r0c = _saddle_residual(datas[-1], f_mom, f_cont,
+                                            uv0, p0)
+                e_uv, e_p = self._fmg(datas, coarse_inv, Rs, Ps, apacks,
+                                      r0m, r0c)
+                uv0, p0 = uv0 + e_uv, p0 + e_p
+                res0 = _pnorm_pair(f_mom, f_cont)
+            else:
+                r0m, r0c = _saddle_residual(datas[-1], f_mom, f_cont,
+                                            uv0, p0)
+                res0 = _pnorm_pair(r0m, r0c)
             hist0 = jnp.full((max_cycles + 1,), jnp.nan, dtype=f_mom.dtype)
 
             def cond(state):
@@ -419,9 +453,10 @@ class ShardedStokesMultigrid:
                 return n + 1, uv, p, _pnorm_pair(rm, rc) / res0, hist
 
             n0 = jnp.asarray(0, dtype=jnp.int32)
-            one = jnp.asarray(1.0, dtype=f_mom.dtype)
+            rm_i, rc_i = _saddle_residual(datas[-1], f_mom, f_cont, uv0, p0)
+            res_init = _pnorm_pair(rm_i, rc_i) / res0
             n, uv, p, res, hist = jax.lax.while_loop(
-                cond, body, (n0, uv0, p0, one, hist0))
+                cond, body, (n0, uv0, p0, res_init, hist0))
             hist = hist.at[n].set(res)
             return uv, p, res, n, hist
 

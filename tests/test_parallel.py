@@ -76,6 +76,74 @@ def test_dryrun_entrypoint():
     __graft_entry__.dryrun_multichip(8)
 
 
+def test_sharded_fmg_poisson(base_settings):
+    """full multigrid on the sharded Poisson path: the FMG guess runs
+    shard-local inside shard_map, the first recorded residual starts far
+    below 1, and the cycle count does not grow (VERDICT r3 item 7)."""
+    lvl, rhs = _setup(base_settings)
+    coarse = GridLevel(Geometry(os.path.join(INPUT_DIR,
+                                             "Rectangle_8X8_nPoly1.xyz"),
+                                base_settings), base_settings, ["u"],
+                       {"u": 1}, sigma=4.0)
+    coarse.op, _, _ = assemble_poisson(coarse)
+    t = make_transfer("polynomial", p_fine=2, p_coarse=1)
+
+    mg0 = ShardedMultigrid([coarse, lvl], [t], base_settings,
+                           mesh=make_mesh(8))
+    u0, res0, n0 = mg0.solve(rhs)
+
+    base_settings.update_setting("solver.multigrid.full_multigrid", True)
+    try:
+        mg1 = ShardedMultigrid([coarse, lvl], [t], base_settings,
+                               mesh=make_mesh(8))
+        assert mg1.full_multigrid
+        u1, res1, n1 = mg1.solve(rhs)
+    finally:
+        base_settings.update_setting("solver.multigrid.full_multigrid",
+                                     False)
+    assert res1 < 1e-6
+    assert mg1.history[0] < 0.2, mg1.history[:3]
+    assert n1 <= n0
+    scale = np.abs(np.asarray(u0)).max()
+    assert np.abs(np.asarray(u1) - np.asarray(u0)).max() < 1e-5 * scale
+
+
+def test_sharded_fmg_stokes(base_settings):
+    """full multigrid on the sharded Stokes path (saddle FMG guess)."""
+    from dgtpu.models.stokes import assemble_stokes
+    from dgtpu.parallel.stokes_halo import ShardedStokesMultigrid
+
+    s = base_settings
+    s.update_setting("problem.type", "Stokes")
+    s.update_setting("grid.polynomial_degree", 2)
+    s.update_setting("solution.ordering", "global")
+    geom = Geometry(os.path.join(INPUT_DIR, "Rectangle_8X8_nPoly2.xyz"), s)
+    mms = ManufacturedSolution(
+        {"u": "sin(pi*x)*sin(pi*y)", "v": "cos(pi*x)*cos(pi*y)",
+         "p": "x**3 + y**3"}, "Stokes", s.problem.kinematic_viscosity)
+    mult = s.problem.SIP_penalty_parameter_multiplier
+    fine = GridLevel(geom, s, ["u", "p"], {"u": 2, "p": 1}, sigma=9 * mult)
+    coarse = GridLevel(geom, s, ["u", "p"], {"u": 1, "p": 0}, sigma=4 * mult)
+    assemble_stokes(fine, mms)
+    assemble_stokes(coarse)
+
+    mg0 = ShardedStokesMultigrid([coarse, fine], s, mesh=make_mesh(8))
+    _, res0, n0 = mg0.solve(fine.rhs)
+
+    s.update_setting("solver.multigrid.full_multigrid", True)
+    try:
+        mg1 = ShardedStokesMultigrid([coarse, fine], s, mesh=make_mesh(8))
+        assert mg1.full_multigrid
+        u1, res1, n1 = mg1.solve(fine.rhs)
+    finally:
+        s.update_setting("solver.multigrid.full_multigrid", False)
+    assert res1 < 1e-6
+    assert n1 <= n0
+    # the returned vector still solves the global saddle system
+    r = np.asarray(fine.rhs - fine.op.matvec(jnp.asarray(u1)))
+    assert np.linalg.norm(r) / np.linalg.norm(np.asarray(fine.rhs)) < 1e-5
+
+
 def test_sharded_stokes_multigrid(base_settings):
     """Sharded Stokes p-multigrid (distributive-GS smoothing in stencil/halo
     form) converges and reproduces the direct-solve velocity field."""
