@@ -122,16 +122,25 @@ def _rb_bgs_DG(D, G, DG_diag, DG_Dinv, colors, rhs, p, n_pass):
     return p
 
 
-def _dgs_sweep(data, f_mom, f_cont, uv, p, n_pass=2, apack=None):
+def _dgs_sweep(data, f_mom, f_cont, uv, p, n_pass=2, apack=None, cheb=None):
     """One distributive-GS (lsq splitting) sweep — stencil/halo form of
     ``DistributiveGS.sweep`` (models/stokes.py; relaxation.py:220-441).
 
     The velocity-block GS passes use the color-packed form (halo.py
     ShardColorPack, ~2.5x less A-block traffic) when ``apack`` is given.
+    ``cheb=(degree, eig_max)`` replaces the velocity-block color passes
+    with a Chebyshev polynomial on the SPD momentum operator A — no color
+    masks, no per-color passes; the only communication left in the whole
+    sweep is the halo matvecs' own ppermutes (the Poisson Chebyshev story
+    applied inside DGS; config key performance.dgs_velocity_solver).
     """
     A, D, G, A_Dinv, DG_diag, DG_Dinv, colors = data
 
     def bgs_A(rhs, x):
+        if cheb is not None:
+            from dgtpu.parallel.halo import _chebyshev_sweep
+            return _chebyshev_sweep(A, A_Dinv, rhs, x, degree=cheb[0],
+                                    eig_max=cheb[1])
         if apack is not None:
             return _rb_gs_sweep_packed(apack, rhs, x, n_pass=n_pass)
         return _rb_bgs_A(A, A_Dinv, colors, rhs, x, n_pass)
@@ -295,6 +304,23 @@ class ShardedStokesMultigrid:
         # per-level color packing of the velocity stencil (any local band)
         self.a_packs = [ShardColorPack(d.A, d.A_Dinv, d.Nj // n_dev, d.Ni)
                         for d in self.data]
+        # velocity-block solver inside DGS: 'gs' (colored block-GS, the
+        # default) or 'chebyshev' (polynomial on the SPD momentum block —
+        # collective-free except the halo matvecs).  eig bounds are
+        # per-level power iterations on the momentum stencil at setup.
+        perf = getattr(settings, "performance", None)
+        self.vel_solver = str(getattr(perf, "dgs_velocity_solver",
+                                      "gs")).lower()
+        self.cheb = [None] * len(levels)
+        if self.vel_solver == "chebyshev":
+            from dgtpu.ops.smoothers import estimate_rho_dinv_a
+            degree = int(getattr(perf, "dgs_velocity_chebyshev_degree", 3))
+            self.cheb = [(degree, 1.1 * estimate_rho_dinv_a(l.block_A))
+                         for l in levels]
+        elif self.vel_solver != "gs":
+            raise ValueError(
+                f"performance.dgs_velocity_solver must be 'gs' or "
+                f"'chebyshev', got {self.vel_solver!r}")
 
         # replicated pinned coarse inverse in [uv-interleaved; p] ordering
         from dgtpu.ops.linalg import host_lu_inverse
@@ -369,7 +395,7 @@ class ShardedStokesMultigrid:
         pre, post = self.cfgs[k]
         for _ in range(pre.iterations):
             uv, p = _dgs_sweep(data, f_mom, f_cont, uv, p, self.n_pass,
-                               apack=apack)
+                               apack=apack, cheb=self.cheb[k])
         r_mom, r_cont = _saddle_residual(data, f_mom, f_cont, uv, p)
         Ruv, Rp = Rs[k - 1]
         fc_mom = self._restrict_field(k, Ruv, r_mom)
@@ -388,7 +414,7 @@ class ShardedStokesMultigrid:
         p = p + self._prolong_field(k, Pp, e_p)
         for _ in range(post.iterations):
             uv, p = _dgs_sweep(data, f_mom, f_cont, uv, p, self.n_pass,
-                               apack=apack)
+                               apack=apack, cheb=self.cheb[k])
         return uv, p
 
     def _fmg(self, datas, coarse_inv, Rs, Ps, apacks, f_mom, f_cont):

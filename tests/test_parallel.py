@@ -108,6 +108,45 @@ def test_sharded_fmg_poisson(base_settings):
     assert np.abs(np.asarray(u1) - np.asarray(u0)).max() < 1e-5 * scale
 
 
+def test_sharded_stokes_chebyshev_dgs(base_settings):
+    """performance.dgs_velocity_solver: chebyshev — the DGS velocity-block
+    solve runs as a Chebyshev polynomial on the SPD momentum block instead
+    of colored block-GS passes, and the sharded Stokes multigrid still
+    converges (VERDICT r3 stretch item 8)."""
+    from dgtpu.models.stokes import assemble_stokes
+    from dgtpu.parallel.stokes_halo import ShardedStokesMultigrid
+
+    s = base_settings
+    s.update_setting("problem.type", "Stokes")
+    s.update_setting("grid.polynomial_degree", 2)
+    s.update_setting("solution.ordering", "global")
+    s.update_setting("performance.dgs_velocity_solver", "chebyshev")
+    try:
+        geom = Geometry(os.path.join(INPUT_DIR, "Rectangle_8X8_nPoly2.xyz"),
+                        s)
+        mms = ManufacturedSolution(
+            {"u": "sin(pi*x)*sin(pi*y)", "v": "cos(pi*x)*cos(pi*y)",
+             "p": "x**3 + y**3"}, "Stokes", s.problem.kinematic_viscosity)
+        mult = s.problem.SIP_penalty_parameter_multiplier
+        fine = GridLevel(geom, s, ["u", "p"], {"u": 2, "p": 1},
+                         sigma=9 * mult)
+        coarse = GridLevel(geom, s, ["u", "p"], {"u": 1, "p": 0},
+                           sigma=4 * mult)
+        assemble_stokes(fine, mms)
+        assemble_stokes(coarse)
+        mg = ShardedStokesMultigrid([coarse, fine], s, mesh=make_mesh(8))
+        assert mg.vel_solver == "chebyshev"
+        assert all(c is not None for c in mg.cheb)
+        u, res, n = mg.solve(fine.rhs)
+    finally:
+        s.update_setting("performance.dgs_velocity_solver", "gs")
+    assert res < 1e-6
+    assert n <= 40
+    # the returned vector solves the global saddle system
+    r = np.asarray(fine.rhs - fine.op.matvec(jnp.asarray(u)))
+    assert np.linalg.norm(r) / np.linalg.norm(np.asarray(fine.rhs)) < 1e-5
+
+
 def test_sharded_fmg_stokes(base_settings):
     """full multigrid on the sharded Stokes path (saddle FMG guess)."""
     from dgtpu.models.stokes import assemble_stokes
