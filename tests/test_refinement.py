@@ -178,6 +178,46 @@ def test_fused_stokes_fmg_guess():
     assert r < 0.1, f"Stokes FMG guess too weak: {r}"
 
 
+def test_precision_mixed_stokes_past_budget_on_cpu(monkeypatch):
+    """Off-TPU the fused-kernel VMEM budget must not gate mixed precision:
+    a 'too big' Stokes hierarchy still runs f32 SoA XLA cycles + defect
+    refinement instead of silently rerouting to full-precision f64
+    (VERDICT r3 missing item 4)."""
+    import dgtpu.api as api_mod
+    from dgtpu.api import DGFEM
+    from dgtpu.settings import Settings, load_params
+
+    monkeypatch.setattr(api_mod, "_FUSED_VMEM_BUDGET", 1)  # force "big"
+    params = load_params()
+    params["problem"]["type"] = "Stokes"
+    params["grid"]["filename"] = "Rectangle_4X4_nPoly2.xyz"
+    params["grid"]["polynomial degree"] = 2
+    params["solution"]["u"]["polynomial degree"] = 2
+    params["solution"]["p"]["polynomial degree"] = 1
+    params["solution"]["ordering"] = "global"
+    mgp = params["solver"]["multigrid"]
+    mgp["penalty parameter coarsening"]["enabled"] = False
+    mgp["polynomial coarsening"]["enabled"] = True
+    mgp["polynomial coarsening"]["levels"]["u"] = "1,2"
+    mgp["geometric coarsening"]["enabled"] = False
+    for w in ("pre smoother", "post smoother"):
+        mgp["polynomial coarsening"][w]["smoother"] = "distributive_gauss_seidel"
+    mgp["coarse grid solver"] = "direct"
+    params["performance"]["precision"] = "mixed"
+    params["performance"]["dgs_splitting"] = "lsq"
+    params["visualization"]["export"] = False
+    params["visualization"]["automatically open paraview"] = False
+    params["logging"]["loglevel"] = "ERROR"
+    params["caching"]["enabled"] = False
+    s = Settings(params)
+    s.solver.method = "multigrid"
+    s.update_setting("solver.discretization", "dg")
+    dg = DGFEM(settings=s, solve_multigrid=True)
+    dg.solve()
+    # the mixed route ran (refinement residual, not the f64 fallback's 1e-6)
+    assert dg.residuals[-1] < 1e-10
+
+
 def test_precision_mixed_api_stokes():
     """Mixed precision on the Stokes saddle system (fused DGS inner cycle)."""
     from dgtpu.api import DGFEM
