@@ -217,7 +217,14 @@ class StreamedLevel:
             def _init():
                 state_ref[...] = u_ref[...]
 
-            mask_chunk = mask_ref[:, :, pl.dslice(start, Lc)]
+            # single-chunk path: static full slices — the dynamic-offset
+            # form would need Mosaic to prove i*Lc = 0 (mod 128), which it
+            # cannot when Lc is unaligned (tiny grids; the smoke gate's
+            # 4x4 hierarchy caught this)
+            if n_chunks == 1:
+                mask_chunk = mask_ref[...]
+            else:
+                mask_chunk = mask_ref[:, :, pl.dslice(start, Lc)]
             fields = self._chunk_fields(state_ref, jnp.int32(1) - c,
                                         start, mask_chunk)
             iL, iR, jL, jR = self._fields_for_color(c == 0, *fields)
@@ -225,7 +232,8 @@ class StreamedLevel:
             # upconverts bf16-stored blocks to the f32 state in-register
             off = (_mac(A_ref[0, 1], iL) + _mac(A_ref[0, 2], iR)
                    + _mac(A_ref[0, 3], jL) + _mac(A_ref[0, 4], jR))
-            rhs_c = rhs_ref[c, :, pl.dslice(start, Lc)]
+            rhs_c = rhs_ref[c] if n_chunks == 1 \
+                else rhs_ref[c, :, pl.dslice(start, Lc)]
             unew = _mac(A_ref[0, 0], rhs_c - off)
             if self.n_chunks == 1:
                 state_ref[c] = unew
@@ -278,7 +286,10 @@ class StreamedLevel:
             c = pl.program_id(0)
             i = pl.program_id(1)
             start = i * jnp.int32(Lc)
-            mask_chunk = mask_ref[:, :, pl.dslice(start, Lc)]
+            if n_chunks == 1:   # static slices (see half_sweeps)
+                mask_chunk = mask_ref[...]
+            else:
+                mask_chunk = mask_ref[:, :, pl.dslice(start, Lc)]
             fields = self._chunk_fields(u_ref, jnp.int32(1) - c,
                                         start, mask_chunk)
             iL, iR, jL, jR = self._fields_for_color(c == 0, *fields)
@@ -289,7 +300,9 @@ class StreamedLevel:
             au = (_mac(A_ref[0, 0], u_c)
                   + _mac(A_ref[0, 1], iL) + _mac(A_ref[0, 2], iR)
                   + _mac(A_ref[0, 3], jL) + _mac(A_ref[0, 4], jR))
-            out_ref[...] = (rhs_ref[c, :, pl.dslice(start, Lc)] - au)[None]
+            rhs_c = rhs_ref[c] if n_chunks == 1 \
+                else rhs_ref[c, :, pl.dslice(start, Lc)]
+            out_ref[...] = (rhs_c - au)[None]
 
         vfull = pl.BlockSpec(memory_space=pltpu.VMEM)
         call = pl.pallas_call(
@@ -334,7 +347,10 @@ class StreamedLevel:
             c = pl.program_id(0)
             i = pl.program_id(1)
             start = i * jnp.int32(Lc)
-            mask_chunk = mask_ref[:, :, pl.dslice(start, Lc)]
+            if n_chunks == 1:   # static slices (see half_sweeps)
+                mask_chunk = mask_ref[...]
+            else:
+                mask_chunk = mask_ref[:, :, pl.dslice(start, Lc)]
             fields = self._chunk_fields(x_ref, jnp.int32(1) - c,
                                         start, mask_chunk)
             iL, iR, jL, jR = self._fields_for_color(c == 0, *fields)
@@ -392,7 +408,10 @@ class StreamedLevel:
         def kernel(x_ref, mask_ref, A_ref, out_ref):
             i = pl.program_id(0)
             start = i * jnp.int32(Lc)
-            mask_chunk = mask_ref[:, :, pl.dslice(start, Lc)]
+            if n_chunks == 1:   # static slices (see half_sweeps)
+                mask_chunk = mask_ref[...]
+            else:
+                mask_chunk = mask_ref[:, :, pl.dslice(start, Lc)]
             fields = self._chunk_fields(x_ref, 1 - color, start, mask_chunk)
             iL, iR, jL, jR = self._fields_for_color(color == 0, *fields)
             if self.n_chunks == 1:

@@ -61,6 +61,11 @@ def vec_to_rolled(v, Ni, Nj, B):
 
 def _shift_j(u, up):
     """Neighbor fields in the j direction with zero halos."""
+    if u.shape[0] == 1:
+        # a single row's j-neighbors are both zero halos; u[:-1]/u[1:]
+        # would be zero-size slices, which Mosaic rejects ("vector types
+        # must have positive constant sizes")
+        return jnp.zeros_like(u)
     zero = jnp.zeros_like(u[:1])
     if up:
         return jnp.concatenate([zero, u[:-1]], axis=0)     # j-1 neighbor values
@@ -197,8 +202,14 @@ def split_neighbor_fields(other, color, even):
     i-rolls wrap (exact for O-grids; wrapped blocks are zero otherwise);
     j-shifts use zero halos, matching ``neighbor_fields``.
     """
-    roll_p = jnp.roll(other, 1, axis=1)     # ip - 1
-    roll_m = jnp.roll(other, -1, axis=1)    # ip + 1
+    if other.shape[1] == 1:
+        # Ni == 2: the packed lattice is one cell wide, a roll by +-1 is
+        # the identity (and Mosaic rejects the zero-size slice a roll on a
+        # size-1 axis lowers to)
+        roll_p = roll_m = other
+    else:
+        roll_p = jnp.roll(other, 1, axis=1)     # ip - 1
+        roll_m = jnp.roll(other, -1, axis=1)    # ip + 1
     if color == 0:
         u_iL = _rowsel(even, roll_p, other)
         u_iR = _rowsel(even, other, roll_m)
