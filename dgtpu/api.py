@@ -636,7 +636,8 @@ class DGFEM:
             from dgtpu.solvers.relaxation_driver import residual_tracked_smoother
             u, hist, n, status = residual_tracked_smoother(
                 finest.op, finest.rhs, name=name, direction="symmetric",
-                max_iterations=100,
+                max_iterations=1000,   # reference default
+                                       # (relaxation.py:198 max_iterations=1e3)
                 strategy=getattr(getattr(s, "performance", None),
                                  "smoother_parallelization", "sequential"),
                 colors=element_colors(finest.Ni, finest.Nj))
