@@ -638,11 +638,26 @@ def stokes_streamed_metric(reps=50, n=32):
         print(f"# stokes streamed bf16 failed: {type(e).__name__}: {e}",
               file=sys.stderr)
 
-    # FMG-seeded mixed-precision refinement to the 1e-10 parity target
+    # FMG-seeded mixed-precision refinement to the 1e-10 parity target.
+    # Deep hierarchies can push the stand-alone cycle's asymptotic
+    # contraction past 1 (measured at 32x32: rho 1.34 for V / 1.14 for W,
+    # IDENTICAL trace on the generic f64 path — algorithmic, not an
+    # implementation artifact), so when the measured 5-cycle contraction
+    # is weak the inner solve switches to f32 GMRES preconditioned by the
+    # cycle, which converges on isolated rho>1 modes.
     with setup_scope():
         fmg = hv.build_fmg()
-    refined = make_refined_solver(op, one, n_inner=6, tol=1e-10,
-                                  normalize="rhs")
+    weak_cycle = out["contraction_per_cycle"] > 0.5
+    inner_mode = "gmres" if weak_cycle else "cycles"
+    out["refined_inner"] = inner_mode
+    # GMRES subspace size: restarting at 8 loses the stubborn near-kernel
+    # subspace each outer round (measured 32x32 TPU: m=8 -> 18 outers,
+    # 458.6 ms warm; m=16 -> 7 outers, 348.1 ms warm), so the weak-cycle
+    # path uses the deeper subspace
+    refined = make_refined_solver(
+        op, one, n_inner=16 if weak_cycle else 6, tol=1e-10,
+        normalize="rhs", inner=inner_mode,
+        matvec32=hv.build_matvec() if weak_cycle else None)
 
     def solve_once():
         u0 = fmg(rhs).astype(rhs64.dtype)

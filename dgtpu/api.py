@@ -551,6 +551,28 @@ class DGFEM:
         self.logger.info(
             f"mixed-precision multigrid ({kind} inner cycle): {int(n)} outer "
             f"refinement rounds x 6 f32 cycles, residual {float(res):.3e}")
+        if float(res) >= tol and hasattr(builder, "build_matvec"):
+            # deep hierarchies can push the stand-alone cycle's asymptotic
+            # contraction past 1 (measured: identical rho>1 trace on the
+            # generic f64 path at 32x32 Stokes — a property of the cycle
+            # config, not the f32 kernels).  GMRES preconditioned by the
+            # same cycle converges on isolated divergent modes, so retry
+            # the refinement with the Krylov-wrapped inner solve.
+            self.logger.warning(
+                f"mixed-precision refinement stalled at {float(res):.3e}; "
+                "retrying with f32 GMRES-wrapped inner cycles")
+            # m=16: restarting at 8 loses the stubborn subspace each outer
+            # round (measured 32x32 TPU: 18 outers at m=8 vs 7 at m=16)
+            refined = make_refined_solver(
+                finest.op, cyc, n_inner=16, tol=tol,
+                normalize="rhs" if fmg_on else "u0", inner="gmres",
+                matvec32=builder.build_matvec())
+            u, res, n, hist = refined(rhs, u0)
+            self.residuals += [float(r) for r in np.asarray(hist)
+                               if np.isfinite(r)]
+            self.logger.info(
+                f"GMRES-wrapped refinement: {int(n)} outer rounds, "
+                f"residual {float(res):.3e}")
         if float(res) >= tol:
             self.logger.warning(
                 f"mixed-precision refinement stopped at {float(res):.3e} "

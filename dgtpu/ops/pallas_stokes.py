@@ -676,6 +676,27 @@ class SoAStokesVCycle:
 
         return one_cycle
 
+    def build_matvec(self):
+        """f32 finest-level saddle matvec (flat global-order vectors) — the
+        operator for Krylov-wrapped refinement
+        (``make_refined_solver(inner='gmres')``)."""
+        flat, rebuild = self._flat_consts()
+        consts = rebuild(flat)
+        top = self.n_lev - 1
+
+        @const_jit
+        def matvec(x):
+            self._masked(consts)
+            s = self._to_soa(x.astype(self.dtype))
+            zm = (jnp.zeros_like(s[0]), jnp.zeros_like(s[1]))
+            zc = (jnp.zeros_like(s[2]), jnp.zeros_like(s[3]))
+            # _residual(f, c, u, p) = f - A u; with f = 0 this is -A u
+            rm, rc = self._residual(top, consts[0][top], zm, zc,
+                                    (s[0], s[1]), (s[2], s[3]))
+            return -self._from_soa(rm[0], rm[1], rc[0], rc[1])
+
+        return matvec
+
     def build(self):
         flat, rebuild = self._flat_consts()
         n_in = 8 + len(flat)

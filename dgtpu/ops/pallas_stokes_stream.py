@@ -367,6 +367,23 @@ class StreamedStokesVCycle:
         self._fn = one_cycle
         return one_cycle
 
+    def build_matvec(self):
+        """f32 finest-level matvec on the streamed stencils (flat global-
+        order vectors) — the operator for Krylov-wrapped refinement
+        (``make_refined_solver(inner='gmres')``)."""
+        top = self.n_lev - 1
+        s = self.streams[top]
+
+        @const_jit
+        def matvec(x):
+            uv01, p01 = self._from_flat(top, x.astype(self.dtype))
+            r_mom, r_cont = s.residual(jnp.zeros_like(uv01),
+                                       jnp.zeros_like(p01), uv01, p01)
+            # residual(f, c, u, p) = f - A u; with f = 0 this is -A u
+            return -self._to_flat(top, r_mom, r_cont)
+
+        return matvec
+
     def build_fmg(self):
         """fmg(rhs) -> u0: FMG guess through the hybrid Stokes hierarchy
         (fused subtree contributes its own XLA FMG pass; streamed levels

@@ -33,7 +33,8 @@ from dgtpu.utils.norms import lp_norm
 
 
 def make_refined_solver(op64, cycle32, n_inner=8, tol=1e-10, max_outer=20,
-                        defect="auto", normalize="u0"):
+                        defect="auto", normalize="u0", inner="cycles",
+                        matvec32=None):
     """Build a jitted mixed-precision solver.
 
     ``op64``: the float64 operator (matvec).  ``cycle32(rhs32, u32)``: one
@@ -44,12 +45,32 @@ def make_refined_solver(op64, cycle32, n_inner=8, tol=1e-10, max_outer=20,
     when u0 is an FMG guess, so the tolerance keeps its
     relative-to-zero-iterate meaning instead of demanding ``tol`` *beyond*
     the already-good start (same rule as MultigridSolver._build_solve).
+
+    ``inner``: how the f32 correction equation is solved each outer step.
+    'cycles' (default) applies ``n_inner`` multigrid cycles; 'gmres' runs
+    ``n_inner`` iterations of f32 GMRES *preconditioned* by one cycle
+    (requires ``matvec32``, the f32 operator).  Krylov-wrapped cycles
+    converge even when the stand-alone cycle iteration has spectral radius
+    >= 1 (e.g. deep Stokes hierarchies where the coarse-grid correction
+    quality degrades with level count) — GMRES minimizes the residual over
+    the Krylov space, so isolated divergent cycle modes cost a few extra
+    iterations instead of blowing up the outer loop.
     Returns solve(rhs64, u0) -> (u, res, n_outer, history).
     """
     if defect not in ("auto", "df32", "f64"):
         raise ValueError(defect)
     if normalize not in ("u0", "rhs"):
         raise ValueError(normalize)
+    if inner not in ("cycles", "gmres"):
+        raise ValueError(inner)
+    if inner == "gmres":
+        if matvec32 is None:
+            raise ValueError("inner='gmres' requires matvec32 (the f32 "
+                             "operator matvec)")
+        inner_solve = _make_gmres_inner(matvec32, cycle32, n_inner)
+    else:
+        def inner_solve(r32):
+            return _inner(cycle32, n_inner, r32)
     if defect in ("auto", "df32"):
         from dgtpu.ops.df32 import DF32Unsupported, make_df32_residual
         try:
@@ -64,9 +85,9 @@ def make_refined_solver(op64, cycle32, n_inner=8, tol=1e-10, max_outer=20,
             logging.getLogger("dgtpu").info(
                 f"df32 defect unavailable ({e}); using the f64 defect")
         else:
-            return _make_df32_solver(df, cycle32, n_inner, tol, max_outer,
+            return _make_df32_solver(df, inner_solve, tol, max_outer,
                                      normalize)
-    return _make_f64_solver(op64, cycle32, n_inner, tol, max_outer,
+    return _make_f64_solver(op64, inner_solve, tol, max_outer,
                             normalize)
 
 
@@ -77,7 +98,84 @@ def _inner(cycle32, n_inner, r32):
     return e
 
 
-def _make_f64_solver(op64, cycle32, n_inner, tol, max_outer,
+def _make_gmres_inner(matvec32, cycle32, n_inner):
+    """Fixed-iteration GMRES(n_inner), RIGHT-preconditioned by one cycle
+    (zero guess): solve A M z = r over the Krylov space, return e = M z.
+
+    Hand-rolled rather than ``jax.scipy.sparse.linalg.gmres`` because that
+    one is built on ``lax.custom_linear_solve``, which transposes the
+    operator at trace time — Pallas kernels (the streamed/fused cycles and
+    matvecs) define no transpose rule.  A static ``n_inner``-step Arnoldi
+    with a dense (n_inner+1) x n_inner least-squares finish is also exactly
+    the fixed, jit-friendly work profile the outer defect loop wants, and
+    right preconditioning keeps the minimized residual that of the TRUE
+    system (left preconditioning minimizes ``M r``)."""
+
+    # unwrap const_jit callables: re-entering jit mid-trace is unnecessary
+    # here, and the ENCLOSING refined solver is const_jit'd anyway, so the
+    # operator arrays still get hoisted to runtime arguments
+    matvec32 = getattr(matvec32, "__wrapped__", matvec32)
+    cycle32 = getattr(cycle32, "__wrapped__", cycle32)
+
+    def inner_solve(r32):
+        dt = r32.dtype
+        tiny = jnp.asarray(1e-35 if dt == jnp.float32 else 1e-300, dt)
+
+        def AM(x):
+            # an f64 inner cycle (the CPU interpret stand-in used in
+            # tests) must not widen the f32 defect
+            return matvec32(cycle32(x, jnp.zeros_like(x))).astype(dt)
+
+        m = n_inner
+        beta = jnp.linalg.norm(r32)
+        V = [r32 / jnp.maximum(beta, tiny)]
+        H = jnp.zeros((m + 1, m), dt)
+        for j in range(m):                      # static unroll, m is small
+            w = AM(V[j])
+            for i in range(j + 1):              # modified Gram-Schmidt
+                hij = jnp.vdot(V[i], w)
+                H = H.at[i, j].set(hij)
+                w = w - hij * V[i]
+            hj1 = jnp.linalg.norm(w)
+            H = H.at[j + 1, j].set(hj1)
+            # happy breakdown -> zero vector; lstsq handles the rank drop
+            V.append(jnp.where(hj1 > tiny, 1.0, 0.0).astype(dt)
+                     * w / jnp.maximum(hj1, tiny))
+        # min ||beta e1 - H y|| via explicit Givens QR + back-substitution:
+        # H is (m+1) x m upper Hessenberg with tiny m, so the unrolled
+        # scalar form is cheap — and it avoids SVD/QR primitives, which
+        # the TPU compiler mishandles inside this while_loop (observed
+        # TransposeFolding crash lowering jnp.linalg.lstsq here)
+        g = jnp.zeros((m + 1,), dt).at[0].set(beta)
+        R = H
+        for j in range(m):
+            a, b = R[j, j], R[j + 1, j]
+            rad = jnp.sqrt(a * a + b * b)
+            safe = jnp.maximum(rad, tiny)
+            c, s = a / safe, b / safe
+            row_j = c * R[j] + s * R[j + 1]
+            row_j1 = -s * R[j] + c * R[j + 1]
+            R = R.at[j].set(row_j).at[j + 1].set(row_j1)
+            gj = c * g[j] + s * g[j + 1]
+            gj1 = -s * g[j] + c * g[j + 1]
+            g = g.at[j].set(gj).at[j + 1].set(gj1)
+        y = [jnp.zeros((), dt)] * m
+        for i in reversed(range(m)):
+            acc = g[i]
+            for k in range(i + 1, m):
+                acc = acc - R[i, k] * y[k]
+            # breakdown (zero pivot) -> that direction contributes nothing
+            y[i] = jnp.where(jnp.abs(R[i, i]) > tiny,
+                             acc / jnp.where(jnp.abs(R[i, i]) > tiny,
+                                             R[i, i], 1.0),
+                             0.0).astype(dt)
+        z = sum(y[j] * V[j] for j in range(m))
+        return cycle32(z, jnp.zeros_like(z)).astype(dt)
+
+    return inner_solve
+
+
+def _make_f64_solver(op64, inner_solve, tol, max_outer,
                      normalize="u0"):
     # op64 is passed as a jit ARGUMENT (it is a registered pytree), not
     # captured by closure: closure-captured arrays become HLO literals, and
@@ -97,7 +195,7 @@ def _make_f64_solver(op64, cycle32, n_inner, tol, max_outer,
         def body(state):
             n, u, r, res, hist = state
             hist = hist.at[n].set(res)
-            e32 = _inner(cycle32, n_inner, r.astype(jnp.float32))
+            e32 = inner_solve(r.astype(jnp.float32))
             u = u + e32.astype(rhs.dtype)
             r = rhs - op64.matvec(u)
             res = lp_norm(r, 2) / res0
@@ -115,7 +213,7 @@ def _make_f64_solver(op64, cycle32, n_inner, tol, max_outer,
     return solve
 
 
-def _make_df32_solver(df, cycle32, n_inner, tol, max_outer,
+def _make_df32_solver(df, inner_solve, tol, max_outer,
                       normalize="u0"):
     from dgtpu.ops.df32 import (pair_add_f32, pair_norm2, pair_to_f64,
                                 split_f64)
@@ -138,7 +236,7 @@ def _make_df32_solver(df, cycle32, n_inner, tol, max_outer,
             hist = hist.at[n].set(res)
             # cast: an f64 inner cycle (the CPU interpret stand-in used in
             # tests) must not widen the f32 pair state
-            e32 = _inner(cycle32, n_inner, r_hi).astype(jnp.float32)
+            e32 = inner_solve(r_hi).astype(jnp.float32)
             u_hi, u_lo = pair_add_f32(u_hi, u_lo, e32)
             r_hi, r_lo = df(b_hi, b_lo, u_hi, u_lo)
             res = pair_norm2(r_hi, r_lo) / res0

@@ -93,6 +93,21 @@ def test_soa_stokes_solves_to_tolerance(stokes_mg, soa):
     assert n + 1 <= 20
 
 
+def test_soa_stokes_build_matvec(stokes_mg, soa):
+    """build_matvec on the fused builder equals op.matvec (the operator
+    handed to Krylov-wrapped refinement)."""
+    import numpy as np
+    dg = stokes_mg
+    mv = soa.build_matvec()
+    op = dg.levels[-1].op
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal(dg.levels[-1].rhs.shape[0]))
+    y_ref = np.asarray(op.matvec(x))
+    y = np.asarray(mv(x))
+    rel = np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref)
+    assert rel < 1e-12, rel
+
+
 def test_soa_stokes_rejects_non_dgs_config(stokes_mg):
     dg = stokes_mg
     import copy

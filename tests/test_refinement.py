@@ -43,6 +43,55 @@ def test_refined_solve_reaches_1e10():
     assert np.abs(np.asarray(u) - ud).max() < 1e-8
 
 
+def test_gmres_inner_converges_where_stationary_diverges():
+    """inner='gmres': Krylov-wrapped refinement must converge when the
+    stand-alone cycle iteration has spectral radius > 1.
+
+    An over-relaxed exact solve (u + omega*A^-1 r, omega=2.5) is the
+    textbook case: the stationary iteration multiplies the error by
+    |1-omega| = 1.5 per application (diverges), while GMRES with the SAME
+    map as preconditioner solves in one iteration — the mechanism that
+    rescues deep Stokes hierarchies whose cycle contraction degrades
+    past 1."""
+    import jax
+
+    import __graft_entry__
+    dg = __graft_entry__._flagship(n=4, p_grid=1, p_sol=1)
+    op64 = dg.levels[-1].op
+    rhs = dg.levels[-1].rhs
+    ndof = rhs.shape[0]
+
+    op32 = StencilOperator(op64.blocks.astype(jnp.float32), op64.nbr,
+                           op64.mask)
+    A32 = jax.vmap(op32.matvec, in_axes=1, out_axes=1)(
+        jnp.eye(ndof, dtype=jnp.float32))
+    omega = jnp.float32(2.5)
+
+    def bad_cycle(r32, u32):
+        return u32 + omega * jnp.linalg.solve(
+            A32, (r32 - op32.matvec(u32))[:, None])[:, 0]
+
+    plain = make_refined_solver(op64, bad_cycle, n_inner=4, tol=1e-10,
+                                max_outer=8, defect="f64")
+    _, res_plain, _, _ = plain(rhs, jnp.zeros_like(rhs))
+    assert not (float(res_plain) < 1e-10), \
+        "stationary iteration should diverge at omega=2.5"
+
+    wrapped = make_refined_solver(op64, bad_cycle, n_inner=4, tol=1e-10,
+                                  max_outer=8, defect="f64", inner="gmres",
+                                  matvec32=op32.matvec)
+    _, res, n, _ = wrapped(rhs, jnp.zeros_like(rhs))
+    assert float(res) < 1e-10
+    assert int(n) <= 6
+
+
+def test_gmres_inner_requires_matvec():
+    import pytest
+
+    with pytest.raises(ValueError, match="matvec32"):
+        make_refined_solver(None, lambda r, u: u, inner="gmres")
+
+
 def test_precision_mixed_api_poisson():
     """performance.precision: mixed routes the multigrid solve through f32
     fused SoA V-cycles + f64 defect refinement, matching the full-f64 path."""

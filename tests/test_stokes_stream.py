@@ -117,6 +117,38 @@ def test_streamed_stokes_refines_to_1e10(stokes_mg):
     assert float(res) < 1e-10
 
 
+def test_streamed_stokes_build_matvec(stokes_mg):
+    """build_matvec on the streamed finest level equals op.matvec."""
+    import numpy as np
+    dg = stokes_mg
+    hv = _hybrid(dg)
+    mv = hv.build_matvec()
+    op = dg.levels[-1].op
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal(dg.levels[-1].rhs.shape[0]))
+    y_ref = np.asarray(op.matvec(x))
+    y = np.asarray(mv(x))
+    rel = np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref)
+    assert rel < 1e-12, rel
+
+
+def test_streamed_stokes_gmres_refinement(stokes_mg):
+    """inner='gmres' refinement through the streamed hybrid converges to
+    1e-10 (the robust route for deep hierarchies whose stand-alone cycle
+    contraction degrades past 1 — bench stokes_large fallback)."""
+    from dgtpu.solvers.refinement import make_refined_solver
+    dg = stokes_mg
+    hv = _hybrid(dg)
+    cyc = hv.build()
+    op = dg.levels[-1].op
+    rhs = dg.levels[-1].rhs
+    refined = make_refined_solver(op, cyc, n_inner=6, tol=1e-10,
+                                  inner="gmres", matvec32=hv.build_matvec())
+    u, res, n, _ = refined(rhs, jnp.zeros_like(rhs))
+    assert float(res) < 1e-10
+    assert int(n) <= 10
+
+
 def test_streamed_stokes_fmg_guess(stokes_mg):
     """StreamedStokesVCycle.build_fmg: the hybrid FMG guess lands well
     below the zero iterate on the saddle system."""
