@@ -643,8 +643,21 @@ class DGFEM:
             tol = float(self.settings.solver.multigrid.tolerance)
             self.logger.info("sharded mixed-precision refinement "
                              "(f32 inner cycles, f64 halo defect loop)")
-            return self.mg.solve_refined(finest.rhs,
-                                         tol=min(tol, 1e-10))
+            out = self.mg.solve_refined(finest.rhs, tol=min(tol, 1e-10))
+            if (self.vars == ["u", "p"]
+                    and float(out[1]) >= min(tol, 1e-10)):
+                # same rescue as the single-chip mixed route: deep
+                # hierarchies can push the stand-alone cycle contraction
+                # past 1; GMRES(16) preconditioned by the sharded cycle
+                # converges on the isolated divergent modes
+                self.logger.warning(
+                    f"sharded mixed refinement stalled at "
+                    f"{float(out[1]):.3e}; retrying with f32 GMRES-wrapped "
+                    "inner cycles")
+                out = self.mg.solve_refined(finest.rhs,
+                                            tol=min(tol, 1e-10),
+                                            n_inner=16, inner="gmres")
+            return out
         return self.mg.solve(finest.rhs)
 
     def _solve_smoother(self, finest):

@@ -571,7 +571,7 @@ class ShardedStokesMultigrid:
         return self._df32_cache
 
     def build_refined(self, tol=1e-10, n_inner=6, max_outer=20,
-                      defect="auto"):
+                      defect="auto", inner="cycles"):
         """Sharded Stokes mixed-precision defect correction: one saddle
         defect residual per outer round (halo-exchange component matvecs),
         the inner correction as n_inner f32 sharded DGS V-cycles — the
@@ -580,7 +580,18 @@ class ShardedStokesMultigrid:
         ``defect='df32'`` (the 'auto' default) evaluates the saddle
         residual in compensated double-single f32 and carries the iterate
         as f32 pairs — no emulated-f64 operator work; ``defect='f64'``
-        keeps the (emulated) float64 component matvecs."""
+        keeps the (emulated) float64 component matvecs.
+
+        ``inner='gmres'`` replaces the n_inner stationary cycles with
+        GMRES(n_inner) right-preconditioned by one sharded cycle (the
+        shard_map analog of ``make_refined_solver(inner='gmres')``): the
+        Arnoldi runs on shard-local flattened [mom; cont] vectors with
+        psum inner products, the operator is the halo saddle matvec.  Use
+        it when the stand-alone cycle contraction degrades toward/past 1
+        on deep hierarchies (measured single-chip: rho 0.99 at 16x16,
+        1.34 at 32x32)."""
+        if inner not in ("cycles", "gmres"):
+            raise ValueError(inner)
         shard_map = jax.shard_map
         mesh = self.mesh
         n_lev = len(self.levels)
@@ -590,8 +601,9 @@ class ShardedStokesMultigrid:
         Rs_specs = tuple((P(), P()) for _ in self.Ruv)
         apack_specs = tuple(pk.specs() for pk in self.a_packs)
         use_df32 = defect in ("auto", "df32")
+        inner_mode = inner
 
-        def inner(datas, coarse_inv, Rs, Ps, apacks, rm32, rc32):
+        def inner_cycles(datas, coarse_inv, Rs, Ps, apacks, rm32, rc32):
             # fori_loop, not Python unrolling: one V-cycle in the HLO
             # instead of n_inner copies (see halo.py inner; the Stokes
             # saddle cycle is the larger module, compile went 7 min -> s)
@@ -602,6 +614,43 @@ class ShardedStokesMultigrid:
             return jax.lax.fori_loop(
                 0, n_inner, one,
                 (jnp.zeros_like(rm32), jnp.zeros_like(rc32)))
+
+        def inner_gmres(datas, coarse_inv, Rs, Ps, apacks, rm32, rc32):
+            from dgtpu.solvers.refinement import gmres_correction
+            top = datas[-1]
+            nm, shp_m, shp_c = rm32.size, rm32.shape, rc32.shape
+
+            def flat(am, ac):
+                return jnp.concatenate([am.ravel(), ac.ravel()])
+
+            def unflat(x):
+                return x[:nm].reshape(shp_m), x[nm:].reshape(shp_c)
+
+            def M(x):
+                em, ec = unflat(x)
+                duv, dp = self._v_cycle(
+                    n_lev - 1, datas, coarse_inv, Rs, Ps, apacks, em, ec,
+                    jnp.zeros_like(em), jnp.zeros_like(ec))
+                return flat(duv, dp)
+
+            def AM(x):
+                uv, p = unflat(M(x))
+                # _saddle_residual(f_mom, f_cont, u, p) = f - A u; f = 0
+                am, ac = _saddle_residual(top, jnp.zeros_like(uv),
+                                          jnp.zeros_like(p), uv, p)
+                return -flat(am, ac)
+
+            def dot(a, b):
+                return jax.lax.psum(jnp.vdot(a, b), AXIS)
+
+            def norm(a):
+                return jnp.sqrt(jax.lax.psum(jnp.sum(a * a), AXIS))
+
+            e = gmres_correction(AM, M, flat(rm32, rc32), n_inner,
+                                 dot=dot, norm=norm)
+            return unflat(e)
+
+        inner = inner_gmres if inner_mode == "gmres" else inner_cycles
 
         def solve_local_f64(top64, datas, coarse_inv, Rs, Ps, apacks,
                             f_mom, f_cont, uv0, p0):
@@ -686,7 +735,8 @@ class ShardedStokesMultigrid:
         return jax.jit(fn), use_df32
 
     def solve_refined(self, rhs_global, u0_global=None, tol=1e-10,
-                      n_inner=6, max_outer=20, defect="auto"):
+                      n_inner=6, max_outer=20, defect="auto",
+                      inner="cycles"):
         """f64-accuracy sharded Stokes solve; returns (u, res, n_outer)."""
         from dgtpu.ops.df32 import pair_to_f64, split_f64
         f_mom, f_cont = self._split_fields(
@@ -697,7 +747,7 @@ class ShardedStokesMultigrid:
             uv0, p0 = self._split_fields(u0_global)
         fn, use_df32 = self.build_refined(tol=tol, n_inner=n_inner,
                                           max_outer=max_outer,
-                                          defect=defect)
+                                          defect=defect, inner=inner)
         datas32, cinv32, Rs32, Ps32, packs32 = self._data32()
         top = self.data[-1]
         with self.mesh:

@@ -98,18 +98,82 @@ def _inner(cycle32, n_inner, r32):
     return e
 
 
-def _make_gmres_inner(matvec32, cycle32, n_inner):
-    """Fixed-iteration GMRES(n_inner), RIGHT-preconditioned by one cycle
-    (zero guess): solve A M z = r over the Krylov space, return e = M z.
+def gmres_correction(AM, M, r, m, dot=None, norm=None):
+    """e = M z, where z approximately minimizes ``||r - A M z||`` over the
+    m-step Krylov space: the correction step of RIGHT-preconditioned
+    GMRES(m) with a zero initial guess.
+
+    ``AM(x)`` applies the preconditioned operator A∘M; ``M(x)`` applies
+    the preconditioner alone (one multigrid cycle from zero).  ``dot`` /
+    ``norm`` default to the single-device ``jnp.vdot`` /
+    ``jnp.linalg.norm``; shard_map callers pass psum-reductions so the
+    Arnoldi runs on shard-local vectors with global inner products.
 
     Hand-rolled rather than ``jax.scipy.sparse.linalg.gmres`` because that
     one is built on ``lax.custom_linear_solve``, which transposes the
     operator at trace time — Pallas kernels (the streamed/fused cycles and
-    matvecs) define no transpose rule.  A static ``n_inner``-step Arnoldi
-    with a dense (n_inner+1) x n_inner least-squares finish is also exactly
-    the fixed, jit-friendly work profile the outer defect loop wants, and
-    right preconditioning keeps the minimized residual that of the TRUE
-    system (left preconditioning minimizes ``M r``)."""
+    matvecs) define no transpose rule.  A static ``m``-step Arnoldi with a
+    dense (m+1) x m least-squares finish is also exactly the fixed,
+    jit-friendly work profile the outer defect loop wants, and right
+    preconditioning keeps the minimized residual that of the TRUE system
+    (left preconditioning minimizes ``M r``)."""
+    if dot is None:
+        dot = jnp.vdot
+    if norm is None:
+        norm = jnp.linalg.norm
+    dt = r.dtype
+    tiny = jnp.asarray(1e-35 if dt == jnp.float32 else 1e-300, dt)
+
+    beta = norm(r)
+    V = [r / jnp.maximum(beta, tiny)]
+    H = jnp.zeros((m + 1, m), dt)
+    for j in range(m):                      # static unroll, m is small
+        w = AM(V[j])
+        for i in range(j + 1):              # modified Gram-Schmidt
+            hij = dot(V[i], w).astype(dt)
+            H = H.at[i, j].set(hij)
+            w = w - hij * V[i]
+        hj1 = norm(w).astype(dt)
+        H = H.at[j + 1, j].set(hj1)
+        # happy breakdown -> zero vector; the QR finish handles the rank
+        # drop
+        V.append(jnp.where(hj1 > tiny, 1.0, 0.0).astype(dt)
+                 * w / jnp.maximum(hj1, tiny))
+    # min ||beta e1 - H y|| via explicit Givens QR + back-substitution:
+    # H is (m+1) x m upper Hessenberg with tiny m, so the unrolled
+    # scalar form is cheap — and it avoids SVD/QR primitives, which
+    # the TPU compiler mishandles inside this while_loop (observed
+    # TransposeFolding crash lowering jnp.linalg.lstsq here)
+    g = jnp.zeros((m + 1,), dt).at[0].set(beta)
+    R = H
+    for j in range(m):
+        a, b = R[j, j], R[j + 1, j]
+        rad = jnp.sqrt(a * a + b * b)
+        safe = jnp.maximum(rad, tiny)
+        c, s = a / safe, b / safe
+        row_j = c * R[j] + s * R[j + 1]
+        row_j1 = -s * R[j] + c * R[j + 1]
+        R = R.at[j].set(row_j).at[j + 1].set(row_j1)
+        gj = c * g[j] + s * g[j + 1]
+        gj1 = -s * g[j] + c * g[j + 1]
+        g = g.at[j].set(gj).at[j + 1].set(gj1)
+    y = [jnp.zeros((), dt)] * m
+    for i in reversed(range(m)):
+        acc = g[i]
+        for k in range(i + 1, m):
+            acc = acc - R[i, k] * y[k]
+        # breakdown (zero pivot) -> that direction contributes nothing
+        y[i] = jnp.where(jnp.abs(R[i, i]) > tiny,
+                         acc / jnp.where(jnp.abs(R[i, i]) > tiny,
+                                         R[i, i], 1.0),
+                         0.0).astype(dt)
+    z = sum(y[j] * V[j] for j in range(m))
+    return M(z)
+
+
+def _make_gmres_inner(matvec32, cycle32, n_inner):
+    """inner_solve(r32) -> e32 via ``gmres_correction`` over the f32 cycle
+    (see there for the why)."""
 
     # unwrap const_jit callables: re-entering jit mid-trace is unnecessary
     # here, and the ENCLOSING refined solver is const_jit'd anyway, so the
@@ -119,58 +183,16 @@ def _make_gmres_inner(matvec32, cycle32, n_inner):
 
     def inner_solve(r32):
         dt = r32.dtype
-        tiny = jnp.asarray(1e-35 if dt == jnp.float32 else 1e-300, dt)
 
-        def AM(x):
+        def M(x):
             # an f64 inner cycle (the CPU interpret stand-in used in
             # tests) must not widen the f32 defect
-            return matvec32(cycle32(x, jnp.zeros_like(x))).astype(dt)
+            return cycle32(x, jnp.zeros_like(x)).astype(dt)
 
-        m = n_inner
-        beta = jnp.linalg.norm(r32)
-        V = [r32 / jnp.maximum(beta, tiny)]
-        H = jnp.zeros((m + 1, m), dt)
-        for j in range(m):                      # static unroll, m is small
-            w = AM(V[j])
-            for i in range(j + 1):              # modified Gram-Schmidt
-                hij = jnp.vdot(V[i], w)
-                H = H.at[i, j].set(hij)
-                w = w - hij * V[i]
-            hj1 = jnp.linalg.norm(w)
-            H = H.at[j + 1, j].set(hj1)
-            # happy breakdown -> zero vector; lstsq handles the rank drop
-            V.append(jnp.where(hj1 > tiny, 1.0, 0.0).astype(dt)
-                     * w / jnp.maximum(hj1, tiny))
-        # min ||beta e1 - H y|| via explicit Givens QR + back-substitution:
-        # H is (m+1) x m upper Hessenberg with tiny m, so the unrolled
-        # scalar form is cheap — and it avoids SVD/QR primitives, which
-        # the TPU compiler mishandles inside this while_loop (observed
-        # TransposeFolding crash lowering jnp.linalg.lstsq here)
-        g = jnp.zeros((m + 1,), dt).at[0].set(beta)
-        R = H
-        for j in range(m):
-            a, b = R[j, j], R[j + 1, j]
-            rad = jnp.sqrt(a * a + b * b)
-            safe = jnp.maximum(rad, tiny)
-            c, s = a / safe, b / safe
-            row_j = c * R[j] + s * R[j + 1]
-            row_j1 = -s * R[j] + c * R[j + 1]
-            R = R.at[j].set(row_j).at[j + 1].set(row_j1)
-            gj = c * g[j] + s * g[j + 1]
-            gj1 = -s * g[j] + c * g[j + 1]
-            g = g.at[j].set(gj).at[j + 1].set(gj1)
-        y = [jnp.zeros((), dt)] * m
-        for i in reversed(range(m)):
-            acc = g[i]
-            for k in range(i + 1, m):
-                acc = acc - R[i, k] * y[k]
-            # breakdown (zero pivot) -> that direction contributes nothing
-            y[i] = jnp.where(jnp.abs(R[i, i]) > tiny,
-                             acc / jnp.where(jnp.abs(R[i, i]) > tiny,
-                                             R[i, i], 1.0),
-                             0.0).astype(dt)
-        z = sum(y[j] * V[j] for j in range(m))
-        return cycle32(z, jnp.zeros_like(z)).astype(dt)
+        def AM(x):
+            return matvec32(M(x)).astype(dt)
+
+        return gmres_correction(AM, M, r32, n_inner)
 
     return inner_solve
 

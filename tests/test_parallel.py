@@ -543,6 +543,16 @@ def test_sharded_stokes_geometric_multigrid(base_settings):
     r = np.asarray(fine.rhs) - np.asarray(fine.op.matvec(jnp.asarray(u_r)))
     assert np.linalg.norm(r) / np.linalg.norm(np.asarray(fine.rhs)) < 1e-9
 
+    # Krylov-wrapped inner solve (the deep-hierarchy rescue, see
+    # stokes_halo.build_refined inner='gmres'): psum-dot Arnoldi over
+    # shard-local [mom; cont] vectors reaches the same 1e-10 target and
+    # the same solution on this hierarchy
+    u_g, res_g, n_g = mg.solve_refined(fine.rhs, tol=1e-10, n_inner=6,
+                                       inner="gmres")
+    assert res_g < 1e-10, res_g
+    scale = np.abs(np.asarray(u_r)).max()
+    assert np.abs(np.asarray(u_g) - np.asarray(u_r)).max() < 1e-7 * scale
+
 
 def test_sharded_mixed_via_dgfem_api():
     """--shards 4 --precision mixed routes through the sharded refinement
