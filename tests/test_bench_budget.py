@@ -93,3 +93,70 @@ def test_stage_times_recorded_and_persisted(make_budget):
     assert "s1" in b._stage_times and b._stage_times["s1"] >= 0.0
     with open(b._times_path) as f:
         assert "s1" in json.load(f)
+
+
+# ---------------------------------------------------------------------------
+# Parent orchestrator (round 5): bounded subprocess stages.  Round 4's
+# driver run died rc 124 behind ONE un-gated Mosaic compile (~26 min vs a
+# 60 s estimate); the orchestrator bounds every stage with a hard timeout
+# and salvages the child's SIGTERM-dumped partial snapshot.
+# ---------------------------------------------------------------------------
+
+
+def test_last_json_dict_takes_last_complete_snapshot():
+    import bench
+    text = "\n".join([
+        "# stderr-ish noise",
+        json.dumps({"value": 1}),
+        "not json {",
+        json.dumps({"value": 2, "more": True}),
+        '{"truncated": ',
+    ])
+    assert bench._last_json_dict(text) == {"value": 2, "more": True}
+    assert bench._last_json_dict("") is None
+    assert bench._last_json_dict(None) is None
+
+
+def test_merge_child_preserves_parent_bookkeeping():
+    import bench
+    result = {"skipped": [{"stage": "earlier"}], "bench_wall_s": 1.0,
+              "scaling": [{"grid_n": 8}]}
+    child = {"value": 0.03, "impl": "soa_fused",
+             "skipped": [{"stage": "inner"}],
+             "bench_wall_s": 99.0, "terminated_by": "SIGTERM",
+             "scaling": [{"grid_n": 16}]}
+    bench._merge_child(result, child)
+    assert result["value"] == 0.03
+    # parent wall-clock/termination bookkeeping survives the merge
+    assert result["bench_wall_s"] == 1.0
+    assert "terminated_by" not in result
+    # child skips append, scaling entries accumulate
+    assert [s["stage"] for s in result["skipped"]] == ["earlier", "inner"]
+    assert [e["grid_n"] for e in result["scaling"]] == [8, 16]
+    # a None / empty child is a no-op
+    bench._merge_child(result, None)
+    assert result["value"] == 0.03
+
+
+def test_plan_for_covers_every_orchestrated_stage():
+    import bench
+    for stage in ("probe", "flagship", "stokes", "configs", "smoke",
+                  "stokes_large", "scaling:16", "scaling:64"):
+        est, cap = bench._plan_for(stage)
+        assert 0 < est <= cap, stage
+
+
+def test_run_child_stage_timeout_salvages_partial(make_budget):
+    """A child that hangs after emitting a snapshot: the parent must kill
+    it at the cap, recover the emitted JSON, and record the timeout."""
+    import bench
+    b = make_budget(600)
+    parsed, timed_out, rc = bench._run_child_stage(
+        b, "_sleep_test", 12.0, [], ["--backend", "cpu"])
+    assert timed_out is True
+    assert parsed is not None and parsed["sleep_marker"] == 1
+    skip = b.result["skipped"][-1]
+    assert skip["stage"] == "_sleep_test"
+    assert skip["reason"] == "stage_timeout"
+    assert skip["partial_recovered"] is True
+    assert b.result["stage_walls"]["_sleep_test"]["timed_out"] is True
