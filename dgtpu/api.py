@@ -603,13 +603,12 @@ class DGFEM:
         if (precision == "mixed"
                 and bool(getattr(self.settings.solver.multigrid,
                                  "full_multigrid", False))):
-            # the full-precision sharded solvers run the FMG guess inside
-            # shard_map (halo._fmg / stokes_halo._fmg); the sharded f64
-            # defect loop does not — its outer rounds start from zero
-            self.logger.warning(
-                "solver.multigrid.full_multigrid does not seed the sharded "
-                "mixed-precision refinement; its outer loop starts from a "
-                "zero guess")
+            # halo/stokes_halo build_refined seed their outer loop with the
+            # shard-local f32 FMG guess on the initial defect (single-chip
+            # parity: fmg_guess + make_refined_solver in _solve_multigrid)
+            self.logger.info(
+                "sharded mixed-precision refinement seeded with the "
+                "shard-local FMG (nested-iteration) guess")
         # smoother kind/direction/iterations/relaxation factor and the
         # coarse-grid solver all come from the per-coarsening paramfile
         # nodes inside the sharded solvers, same as the single-chip path
@@ -736,13 +735,17 @@ class DGFEM:
         # modal -> nodal (dgfem.py:201-209), batched; per-element nodal tables
         # when the physical-element orthonormal basis is active (element.py:43)
         nu_dof = finest.N_DOF_sol["u"]
-        eb = getattr(finest, "element_basis", None)
-        if eb is not None:
-            Vg_e = eb.apply(finest.quad.V_sol_grid["u"])     # (N, G, B)
-            u_nodal = jnp.einsum("ngb,nb->ng", Vg_e, u_el[:, :nu_dof])
-        else:
-            Vg_u = jnp.asarray(finest.quad.V_sol_grid["u"])
-            u_nodal = u_el[:, :nu_dof] @ Vg_u.T
+        eb = getattr(finest, "element_basis", None) or {}
+
+        def to_nodal(modal, var):
+            """Modal block -> nodal values, per-element basis aware."""
+            eb_v = eb.get(var)
+            if eb_v is not None:
+                Vg_e = eb_v.apply(finest.quad.V_sol_grid[var])  # (N, G, B)
+                return jnp.einsum("ngb,nb->ng", Vg_e, modal)
+            return modal @ jnp.asarray(finest.quad.V_sol_grid[var]).T
+
+        u_nodal = to_nodal(u_el[:, :nu_dof], "u")
         X, Y = jnp.asarray(finest.X), jnp.asarray(finest.Y)
         u_exact = self.mms.u(X, Y)
         self.L1_error_u = float(lp_norm(u_nodal - u_exact, 1))
@@ -751,9 +754,8 @@ class DGFEM:
         point_data = {}
         if problem == "Stokes":
             np_dof = finest.N_DOF_sol["p"]
-            Vg_p = jnp.asarray(finest.quad.V_sol_grid["p"])
-            v_nodal = u_el[:, nu_dof:2 * nu_dof] @ Vg_u.T
-            p_nodal = u_el[:, -np_dof:] @ Vg_p.T
+            v_nodal = to_nodal(u_el[:, nu_dof:2 * nu_dof], "u")
+            p_nodal = to_nodal(u_el[:, -np_dof:], "p")
             v_exact = self.mms.v(X, Y)
             p_exact = self.mms.p(X, Y)
             self.L1_error_v = float(lp_norm(v_nodal - v_exact, 1))

@@ -114,7 +114,7 @@ def modal_to_vtk(basepath, level, u_modal, x, y, var="u", name="phi"):
     """
     u_el = np.asarray(u_modal).reshape(level.N, -1)
     nd = level.N_DOF_sol[var]
-    eb = getattr(level, "element_basis", None)
+    eb = (getattr(level, "element_basis", None) or {}).get(var)
     if eb is not None:
         Vg = np.asarray(eb.apply(level.quad.V_sol_grid[var]))   # (N, G, B)
         nodal = np.einsum("ngb,nb->ng", Vg, u_el[:, :nd])

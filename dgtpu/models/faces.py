@@ -54,12 +54,14 @@ class FaceData:
         self._var_quad = var_quad
         self.wJ = self.w_q[None, :] * self.J       # (F, nq)
 
-    def _per_face(self, table, elem_idx, use_eb):
+    def _per_face(self, table, elem_idx, var_basis):
         """Shared (nq, B) table -> per-face (F, nq, B), via the per-element
-        basis transform when active (face.py:43-59 semantics)."""
+        basis transform of ``var_basis`` when active (face.py:43-59
+        semantics; ``element_basis`` is a {var: ElementBasis} dict)."""
         table = jnp.asarray(table)
-        if use_eb and self.eb is not None:
-            return self.eb.apply(table)[elem_idx]
+        eb = (self.eb or {}).get(var_basis)
+        if eb is not None:
+            return eb.apply(table)[elem_idx]
         F = len(elem_idx)
         return jnp.broadcast_to(table[None], (F,) + table.shape)
 
@@ -67,24 +69,22 @@ class FaceData:
         """(V_L, V_R) trace Vandermondes of a basis, each (F, nq, B)."""
         q = self._level.quad
         sL, sR = self.topo.side_L, self.topo.side_R
-        use_eb = var_basis == "u"
         return (self._per_face(q.V_sol_face[sL][var_basis][self._var_quad],
-                               self.topo.eL, use_eb),
+                               self.topo.eL, var_basis),
                 self._per_face(q.V_sol_face[sR][var_basis][self._var_quad],
-                               self.topo.eR, use_eb))
+                               self.topo.eR, var_basis))
 
     def grad_normal(self, var_basis):
         """(Gn_L, Gn_R): n . grad(phi) traces, each (F, nq, B)."""
         q = self._level.quad
         sL, sR = self.topo.side_L, self.topo.side_R
-        use_eb = var_basis == "u"
         out = []
         for side_key, mt, idx in ((sL, self.mt_L, self.topo.eL),
                                   (sR, self.mt_R, self.topo.eR)):
             Vr = self._per_face(q.Vr_sol_face[side_key][var_basis][self._var_quad],
-                                idx, use_eb)
+                                idx, var_basis)
             Vs = self._per_face(q.Vs_sol_face[side_key][var_basis][self._var_quad],
-                                idx, use_eb)
+                                idx, var_basis)
             gx = Vr * mt["rx"][:, :, None] + Vs * mt["sx"][:, :, None]
             gy = Vr * mt["ry"][:, :, None] + Vs * mt["sy"][:, :, None]
             out.append(gx * mt["nx"][:, :, None] + gy * mt["ny"][:, :, None])

@@ -14,10 +14,12 @@ from dgtpu.ops.stencil import StencilOperator, stencil_from_contributions
 
 def _vol_table(level, table, var):
     """Shared (nq, B) volume table -> (N, nq, B), per-element when the
-    physical-element orthonormal basis is active (element.py:33-50)."""
+    physical-element orthonormal basis of ``var`` is active
+    (element.py:33-50; ``level.element_basis`` is a {var: ElementBasis}
+    dict, see ops/orthonormal.element_bases)."""
     table = jnp.asarray(table)
-    eb = getattr(level, "element_basis", None)
-    if eb is not None and var == "u":
+    eb = (getattr(level, "element_basis", None) or {}).get(var)
+    if eb is not None:
         return eb.apply(table)
     return jnp.broadcast_to(table[None], (level.N,) + table.shape)
 
@@ -69,10 +71,8 @@ def assemble_poisson(level, mms=None, gt=None):
     nu = settings.problem.kinematic_viscosity
     gt = gt if gt is not None else level.gt
 
-    level.element_basis = None
-    if getattr(settings.problem, "orthonormal_on_physical_element", False):
-        from dgtpu.ops.orthonormal import ElementBasis
-        level.element_basis = ElementBasis(level, gt=gt)
+    from dgtpu.ops.orthonormal import element_bases
+    element_bases(level, gt=gt, vars=("u",))
 
     vol = volume_laplace(level, gt=gt)
 

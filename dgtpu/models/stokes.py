@@ -26,8 +26,8 @@ from dgtpu.models.faces import (FaceData, continuity_dirichlet_rhs,
                                 pressure_surface, sip_dirichlet_rhs, sip_terms,
                                 velocity_penalty_dirichlet_rhs,
                                 velocity_penalty_surface)
-from dgtpu.models.poisson import (mass_matrices, source_volume_rhs,
-                                  volume_laplace)
+from dgtpu.models.poisson import (_vol_table, mass_matrices,
+                                  source_volume_rhs, volume_laplace)
 from dgtpu.ops.linalg import host_inv
 from dgtpu.ops.stencil import StencilOperator, stencil_from_contributions
 from dgtpu.utils.norms import lp_norm
@@ -38,13 +38,14 @@ from dgtpu.utils.norms import lp_norm
 # --------------------------------------------------------------------------
 
 def _grad_basis(level, var_basis, var_quad, gt):
-    """G_x, G_y of a basis at a quadrature: (N, nq2, B) each."""
+    """G_x, G_y of a basis at a quadrature: (N, nq2, B) each.  Per-element
+    tables when the physical-element orthonormal basis is active."""
     q = level.quad
     g = gt[var_quad]["e"]
-    Vr = jnp.asarray(q.Vr_sol_int[var_basis][var_quad])
-    Vs = jnp.asarray(q.Vs_sol_int[var_basis][var_quad])
-    Gx = Vr[None] * g["rx"][:, :, None] + Vs[None] * g["sx"][:, :, None]
-    Gy = Vr[None] * g["ry"][:, :, None] + Vs[None] * g["sy"][:, :, None]
+    Vr = _vol_table(level, q.Vr_sol_int[var_basis][var_quad], var_basis)
+    Vs = _vol_table(level, q.Vs_sol_int[var_basis][var_quad], var_basis)
+    Gx = Vr * g["rx"][:, :, None] + Vs * g["sx"][:, :, None]
+    Gy = Vr * g["ry"][:, :, None] + Vs * g["sy"][:, :, None]
     return Gx, Gy
 
 
@@ -52,10 +53,10 @@ def continuity_volume(level, gt):
     """-int q div(u): (N, Np, 2Nu) (element.py:169-179)."""
     q = level.quad
     Gx, Gy = _grad_basis(level, "u", "p", gt)
-    Vp = jnp.asarray(q.V_sol_int["p"]["p"])
+    Vp = _vol_table(level, q.V_sol_int["p"]["p"], "p")
     wJ = gt["p"]["e"]["J"] * jnp.asarray(q.w_int_2d["p"])[None, :]
-    res_u = -jnp.einsum("nqi,nq,qk->nki", Gx, wJ, Vp)
-    res_v = -jnp.einsum("nqi,nq,qk->nki", Gy, wJ, Vp)
+    res_u = -jnp.einsum("nqi,nq,nqk->nki", Gx, wJ, Vp)
+    res_v = -jnp.einsum("nqi,nq,nqk->nki", Gy, wJ, Vp)
     return jnp.concatenate([res_u, res_v], axis=2)
 
 
@@ -63,10 +64,10 @@ def pressure_volume(level, gt):
     """-int p div(psi): (N, 2Nu, Np) (element.py:201-211)."""
     q = level.quad
     Gx, Gy = _grad_basis(level, "u", "u", gt)
-    Vp = jnp.asarray(q.V_sol_int["p"]["u"])
+    Vp = _vol_table(level, q.V_sol_int["p"]["u"], "p")
     wJ = gt["u"]["e"]["J"] * jnp.asarray(q.w_int_2d["u"])[None, :]
-    res_x = -jnp.einsum("qi,nq,nqk->nki", Vp, wJ, Gx)
-    res_y = -jnp.einsum("qi,nq,nqk->nki", Vp, wJ, Gy)
+    res_x = -jnp.einsum("nqi,nq,nqk->nki", Vp, wJ, Gx)
+    res_y = -jnp.einsum("nqi,nq,nqk->nki", Vp, wJ, Gy)
     return jnp.concatenate([res_x, res_y], axis=1)
 
 
@@ -106,10 +107,16 @@ def _element_blocks(level, gt):
     """
     s = level.settings
     nu = s.problem.kinematic_viscosity
-    fd_i_u = FaceData(level, level.faces_i, "u", gt=gt)
-    fd_j_u = FaceData(level, level.faces_j, "u", gt=gt)
-    fd_i_p = FaceData(level, level.faces_i, "p", gt=gt)
-    fd_j_p = FaceData(level, level.faces_j, "p", gt=gt)
+    # physical-element orthonormal bases for BOTH u and p when enabled
+    # (beyond the reference, whose transform is u-only and whose Stokes
+    # path is explicitly unimplemented: element.py:32 "not yet transformed
+    # to multiple variables u,v,p")
+    from dgtpu.ops.orthonormal import element_bases
+    eb = element_bases(level, gt=gt, vars=("u", "p"))
+    fd_i_u = FaceData(level, level.faces_i, "u", gt=gt, element_basis=eb)
+    fd_j_u = FaceData(level, level.faces_j, "u", gt=gt, element_basis=eb)
+    fd_i_p = FaceData(level, level.faces_i, "p", gt=gt, element_basis=eb)
+    fd_j_p = FaceData(level, level.faces_j, "p", gt=gt, element_basis=eb)
 
     def per_direction(fd_u, fd_p):
         sip = [_expand_2x2_diag(b) for b in sip_terms(fd_u, nu, level.sigma)]
@@ -246,7 +253,12 @@ def assemble_stokes(level, mms=None, direct=False):
     ``level.rhs`` is stored in the operator's own ordering.
     """
     from dgtpu.utils.caching import load_stokes_parts, save_stokes_parts
+    from dgtpu.ops.orthonormal import element_bases
     s = level.settings
+    # construct (or clear) the per-element basis transforms up front so a
+    # parts-cache hit still leaves them available to error evaluation,
+    # mean shift, and VTK export
+    element_bases(level, vars=("u", "p"))
     mask = jnp.asarray(level.nbr_mask)
     nbr = jnp.asarray(level.nbr, dtype=jnp.int32)
     rhs_local = None
@@ -312,10 +324,10 @@ def assemble_rhs_stokes(level, mms, fds):
     rhs_u = source_volume_rhs(level, fx, gt=gt)
     rhs_v = source_volume_rhs(level, fy, gt=gt)
     # continuity source: -int q f_cont at p-quad (element.py:158-159)
-    Vp = jnp.asarray(level.quad.V_sol_int["p"]["p"])
+    Vp = _vol_table(level, level.quad.V_sol_int["p"]["p"], "p")
     wJp = gp["J"] * jnp.asarray(level.quad.w_int_2d["p"])[None, :]
     f_cont = mms.f_continuity(gp["x"], gp["y"])
-    rhs_p = -jnp.einsum("qi,nq,nq->ni", Vp, wJp, f_cont)
+    rhs_p = -jnp.einsum("nqi,nq,nq->ni", Vp, wJp, f_cont)
 
     include_p_bc = s.problem.include_pressure_BC
     for fd_u, fd_p, topo in ((fd_i_u, fd_i_p, level.faces_i),
@@ -480,21 +492,27 @@ def reorder_global_to_local(level, vec):
 def pressure_integral(level, p_modal):
     """int p dA per element batch (element.py:151-153); p_modal (N, Np)."""
     gt = level.gt
-    Vp = jnp.asarray(level.quad.V_sol_int["p"]["p"])
+    Vp = _vol_table(level, level.quad.V_sol_int["p"]["p"], "p")
     wJ = gt["p"]["e"]["J"] * jnp.asarray(level.quad.w_int_2d["p"])[None, :]
-    p_int = p_modal @ Vp.T
+    p_int = jnp.einsum("nqi,ni->nq", Vp, p_modal)
     return jnp.sum(p_int * wJ, axis=1)
 
 
 def pressure_mean_shift(level, u_el):
     """Subtract the numerical pressure mean (dgfem.py:170-186).
 
-    The mode-(0,0) coefficient shift is 2*mean since phi_00 = 1/2.
+    The mode-(0,0) coefficient shift is 2*mean since phi_00 = 1/2; under
+    the physical-element orthonormal p basis the constant mode is
+    norms_e0 * 1/2 per element, so the shift divides by norms_e0.
     """
     npd = level.N_DOF_sol["p"]
     p_modal = u_el[:, -npd:]
     mean = jnp.sum(pressure_integral(level, p_modal)) / jnp.sum(level.gt["A"])
-    return u_el.at[:, -npd].add(-2.0 * mean)
+    shift = -2.0 * mean
+    eb_p = (getattr(level, "element_basis", None) or {}).get("p")
+    if eb_p is not None:
+        shift = shift / eb_p.norms[:, 0]
+    return u_el.at[:, -npd].add(shift)
 
 
 def compute_mms_epsilon(level, mms):

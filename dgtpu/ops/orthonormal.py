@@ -75,3 +75,29 @@ class ElementBasis:
     def apply(self, table):
         table = jnp.asarray(table)
         return jnp.einsum("qb,nbc->nqc", table, self.weights) * self.norms[:, None, :]
+
+
+def element_bases(level, gt=None, vars=("u",)):
+    """{var: ElementBasis} for every requested solution variable, cached on
+    ``level.element_basis``; None when the setting is off.
+
+    Central construction point so operator-cache hits (which skip assembly)
+    still leave the transform available to error evaluation / VTK export.
+    The reference builds the u-basis transform in the Element ctor
+    (element.py:33-43) and leaves Stokes explicitly unimplemented
+    ("not yet transformed to multiple variables u,v,p"); here each variable
+    gets its own transform under its own quadrature's physical inner
+    product, so the Stokes path is supported too.
+    """
+    s = level.settings
+    if not getattr(s.problem, "orthonormal_on_physical_element", False):
+        level.element_basis = None
+        return None
+    cached = getattr(level, "element_basis", None) or {}
+    if not all(v in cached for v in vars):
+        cached = dict(cached)
+        for v in vars:
+            if v not in cached:
+                cached[v] = ElementBasis(level, gt=gt, var=v)
+        level.element_basis = cached
+    return level.element_basis

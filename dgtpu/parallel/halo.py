@@ -707,6 +707,13 @@ class ShardedMultigrid:
         and carries the iterate as an f32 pair: no emulated-f64 operator
         work anywhere in the loop.  ``defect='f64'`` keeps the (emulated)
         float64 halo matvec — the reference's arithmetic.
+
+        With ``solver.multigrid.full_multigrid`` on, the outer loop is
+        seeded with the shard-local f32 FMG (nested-iteration) guess
+        applied to the initial defect — same seeding as the single-chip
+        mixed route (api.py fmg_guess + make_refined_solver) — while the
+        convergence criterion stays normalized by the PRE-seed residual so
+        ``tol`` keeps its relative-to-zero-iterate meaning.
         """
         shard_map = jax.shard_map
         mesh = self.mesh
@@ -718,6 +725,7 @@ class ShardedMultigrid:
                       tuple(P(AXIS) for _ in self.colors), P(), pack_specs,
                       self.R_specs, tuple(P() for _ in self.Pr))
         use_df32 = defect in ("auto", "df32")
+        fmg_seed = self.full_multigrid
 
         def inner(data, r32):
             # fori_loop, not Python unrolling: the HLO carries ONE V-cycle
@@ -733,6 +741,10 @@ class ShardedMultigrid:
             data = (blocks, Dinv, colors, coarse_inv, packs, Rs, Ps)
             r0 = rhs - _matvec_with_halo(b64, u0)
             res0 = _pnorm2(r0)
+            if fmg_seed:
+                u0 = u0 + self._fmg(
+                    data, r0.astype(jnp.float32)).astype(rhs.dtype)
+                r0 = rhs - _matvec_with_halo(b64, u0)
             hist0 = jnp.full((max_outer + 1,), jnp.nan, dtype=rhs.dtype)
 
             def cond(state):
@@ -760,6 +772,11 @@ class ShardedMultigrid:
             r_hi, r_lo = _df32_residual_with_halo(trip, b_hi, b_lo,
                                                   u_hi, u_lo)
             res0 = _pnorm2_pair(r_hi, r_lo)
+            if fmg_seed:
+                e32 = self._fmg(data, r_hi).astype(jnp.float32)
+                u_hi, u_lo = pair_add_f32(u_hi, u_lo, e32)
+                r_hi, r_lo = _df32_residual_with_halo(trip, b_hi, b_lo,
+                                                      u_hi, u_lo)
             hist0 = jnp.full((max_outer + 1,), jnp.nan, dtype=jnp.float32)
             tol32 = jnp.float32(tol)
 

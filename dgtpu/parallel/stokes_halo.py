@@ -602,6 +602,10 @@ class ShardedStokesMultigrid:
         apack_specs = tuple(pk.specs() for pk in self.a_packs)
         use_df32 = defect in ("auto", "df32")
         inner_mode = inner
+        # full_multigrid seeds the outer loop with the shard-local f32 FMG
+        # guess on the initial defect (single-chip api.py parity); the
+        # criterion stays normalized by the PRE-seed residual
+        fmg_seed = self.full_multigrid
 
         def inner_cycles(datas, coarse_inv, Rs, Ps, apacks, rm32, rc32):
             # fori_loop, not Python unrolling: one V-cycle in the HLO
@@ -656,6 +660,13 @@ class ShardedStokesMultigrid:
                             f_mom, f_cont, uv0, p0):
             r0m, r0c = _saddle_residual(top64, f_mom, f_cont, uv0, p0)
             res0 = _pnorm_pair(r0m, r0c)
+            if fmg_seed:
+                duv, dp = self._fmg(datas, coarse_inv, Rs, Ps, apacks,
+                                    r0m.astype(jnp.float32),
+                                    r0c.astype(jnp.float32))
+                uv0 = uv0 + duv.astype(f_mom.dtype)
+                p0 = p0 + dp.astype(f_mom.dtype)
+                r0m, r0c = _saddle_residual(top64, f_mom, f_cont, uv0, p0)
             hist0 = jnp.full((max_outer + 1,), jnp.nan, dtype=f_mom.dtype)
 
             def cond(state):
@@ -688,6 +699,16 @@ class ShardedStokesMultigrid:
             rm, rc = _df32_saddle_residual(trips, bm_hi, bm_lo, bc_hi,
                                            bc_lo, uv_hi, uv_lo, p_hi, p_lo)
             res0 = _pnorm_pair(rm[0] + rm[1], rc[0] + rc[1])
+            if fmg_seed:
+                duv, dp = self._fmg(datas, coarse_inv, Rs, Ps, apacks,
+                                    rm[0], rc[0])
+                uv_hi, uv_lo = pair_add_f32(uv_hi, uv_lo,
+                                            duv.astype(jnp.float32))
+                p_hi, p_lo = pair_add_f32(p_hi, p_lo,
+                                          dp.astype(jnp.float32))
+                rm, rc = _df32_saddle_residual(trips, bm_hi, bm_lo, bc_hi,
+                                               bc_lo, uv_hi, uv_lo,
+                                               p_hi, p_lo)
             hist0 = jnp.full((max_outer + 1,), jnp.nan, dtype=jnp.float32)
             tol32 = jnp.float32(tol)
 

@@ -725,3 +725,39 @@ def test_sharded_f_cycle(base_settings):
     n_v, n_f, n_w = run("V"), run("F"), run("W")
     s.update_setting("solver.multigrid.cycle_type", "V")
     assert n_w <= n_f <= n_v
+
+
+def test_sharded_fmg_seeds_mixed_refinement(base_settings):
+    """VERDICT r4 item 6: ``full_multigrid`` seeds the sharded
+    mixed-precision outer loop with the shard-local f32 FMG guess (both
+    defect backends), reaching 1e-10 in no more outer rounds than the
+    zero-guess loop and strictly ahead after the first round, while the
+    criterion stays normalized by the pre-seed residual."""
+    lvl, rhs = _setup(base_settings)
+    coarse = GridLevel(Geometry(os.path.join(INPUT_DIR,
+                                             "Rectangle_8X8_nPoly1.xyz"),
+                                base_settings), base_settings, ["u"],
+                       {"u": 1}, sigma=4.0)
+    coarse.op, _, _ = assemble_poisson(coarse)
+    t = make_transfer("polynomial", p_fine=2, p_coarse=1)
+    mg0 = ShardedMultigrid([coarse, lvl], [t], base_settings,
+                           mesh=make_mesh(8))
+    u0, res0, n0 = mg0.solve_refined(rhs, tol=1e-10)
+    h0 = list(mg0.history)
+
+    base_settings.update_setting("solver.multigrid.full_multigrid", True)
+    try:
+        mg1 = ShardedMultigrid([coarse, lvl], [t], base_settings,
+                               mesh=make_mesh(8))
+        u1, res1, n1 = mg1.solve_refined(rhs, tol=1e-10)
+        h1 = list(mg1.history)
+        u1b, res1b, n1b = mg1.solve_refined(rhs, tol=1e-10, defect="f64")
+    finally:
+        base_settings.update_setting("solver.multigrid.full_multigrid",
+                                     False)
+    assert res1 < 1e-10 and res1b < 1e-10
+    assert n1 <= n0 and n1b <= n0
+    # the seed engaged: after one outer round the seeded loop is ahead
+    assert h1[1] < h0[1], (h1[:3], h0[:3])
+    scale = np.abs(np.asarray(u0)).max()
+    assert np.abs(np.asarray(u1) - np.asarray(u0)).max() < 1e-9 * scale
