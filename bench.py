@@ -209,13 +209,16 @@ def _probe_tpu(timeout_s=420):
 def _stencil_bytes_per_cycle(mg, dims):
     """Analytic HBM-traffic model for one V-cycle of the XLA packed path.
 
-    Per level: each red-black color pass reads half the rows' packed
-    off-diagonal blocks (4 slots) + diag inverses (~2.5 N B^2 values), the
-    residual matvec reads the full 5-slot stencil (5 N B^2), transfers are
-    negligible.  Vectors are small next to the operator blocks at these
-    block sizes.  This is the *minimum* traffic assuming perfect reuse
-    within a pass; the achieved-bandwidth figure divides it by measured
-    wall time, so hbm_utilization <= 1 by construction of a lower bound.
+    Per level: each red-black HALF-sweep reads one color's packed
+    off-diagonal blocks (4 slots) + diag inverses (~2.5 N B^2 values);
+    one symmetric iteration = 4 half-sweeps (forward red+black, backward
+    black+red — ops/smoothers.py _gs_sweep_colored with n_pass=2), the
+    residual matvec reads the full 5-slot stencil (5 N B^2), transfers
+    are negligible.  Round-4's model counted only 2 half-sweeps per
+    iteration, understating streamed-path traffic (and so utilization)
+    2x.  Fused kernels get their exact per-launch operand read from the
+    builder instead (hbm_bytes_per_invocation) — for them the hierarchy
+    is VMEM-resident and HBM sees each operand once per cycle.
     """
     total = 0.0
     for k, op in enumerate(mg.ops):
@@ -226,8 +229,8 @@ def _stencil_bytes_per_cycle(mg, dims):
             continue
         t = mg.types[k - 1]
         pre, post = mg._smoother_cfg[t]
-        passes = 2 * pre.iterations + 2 * post.iterations  # symmetric sweeps
-        total += passes * 2.5 * n * br * bc * itemsize     # packed color passes
+        half_sweeps = 4 * (pre.iterations + post.iterations)
+        total += half_sweeps * 2.5 * n * br * bc * itemsize
         total += 5 * n * br * bc * itemsize                # residual matvec
     return total
 
@@ -834,6 +837,7 @@ def measure_flagship(args, grid_n, gate=True, refine=True,
     soa_fn = None
     stream_fn = None
     stream_bf16_fn = None
+    impl_bytes = {}   # per-impl ACTUAL HBM bytes/cycle (builders know)
     if args.dtype == "float32":
         try:
             from dgtpu.ops.pallas_vcycle import PallasVCycle
@@ -864,6 +868,7 @@ def measure_flagship(args, grid_n, gate=True, refine=True,
                         return pallas_one(rhs, u)
                     return jax.lax.fori_loop(0, n, body, u)
                 pallas_fn = (pallas_one, pallas_many)
+                impl_bytes["pallas_fused"] = pv.hbm_bytes_per_invocation()
             # structure-of-arrays fused cycle (cells in lanes): ~11% tile
             # padding instead of 3.5x, VMEM-resident through 32x32.
             if (jax.default_backend() == "tpu" and not args.no_pallas
@@ -882,6 +887,7 @@ def measure_flagship(args, grid_n, gate=True, refine=True,
                         return soa_one(rhs, u)
                     return jax.lax.fori_loop(0, n, body, u)
                 soa_fn = (soa_one, soa_many)
+                impl_bytes["soa_fused"] = sv.hbm_bytes_per_invocation()
             # beyond full VMEM residency: streamed-smoother hybrid (blocks
             # streamed through a sequential pallas grid, vectors resident,
             # coarse subtree as one fused kernel) — plus its bf16
@@ -891,14 +897,16 @@ def measure_flagship(args, grid_n, gate=True, refine=True,
                     and grid_n > args.soa_max_n):
                 from dgtpu.ops.pallas_stream import StreamedVCycle
 
-                def make_stream(block_storage):
+                def make_stream(tag, block_storage, res_storage=None):
                     with setup_scope():
                         hv = StreamedVCycle([l.op for l in dg.levels],
                                             dg.transfers, dg.transfer_types,
                                             dg.settings, dims, dtype=dtype,
-                                            block_storage=block_storage)
+                                            block_storage=block_storage,
+                                            res_storage=res_storage)
                     hv.to_device(target)
                     one = hv.build()
+                    impl_bytes[tag] = hv.hbm_bytes_per_cycle()
 
                     @const_jit
                     def many(rhs, u, n):
@@ -906,8 +914,13 @@ def measure_flagship(args, grid_n, gate=True, refine=True,
                             return one(rhs, u)
                         return jax.lax.fori_loop(0, n, body, u)
                     return one, many
-                stream_fn = make_stream("float32")
-                stream_bf16_fn = make_stream("bfloat16")
+                stream_fn = make_stream("streamed", "float32")
+                stream_bf16_fn = make_stream("streamed_bf16", "bfloat16")
+                # NOT benched: res_storage='bfloat16' (all-bf16 streams).
+                # Measured (tests/test_block_storage.py): the bf16
+                # residual operand stalls the cycle at ~1.7e-2 relative —
+                # as the refined solve's inner preconditioner that costs
+                # MORE outer rounds than the ~35% traffic cut saves.
         except Exception as e:  # pragma: no cover - report and fall back
             print(f"# fused path unavailable: {type(e).__name__}: {e}",
                   file=sys.stderr)
@@ -992,10 +1005,15 @@ def measure_flagship(args, grid_n, gate=True, refine=True,
     if stream_bf16_fn is not None:
         try_impl("streamed_bf16", stream_bf16_fn)
 
-    # achieved HBM bandwidth vs v5e peak for the best V-cycle (traffic is a
-    # lower-bound model, so utilization is a lower bound too)
-    bytes_cycle = _stencil_bytes_per_cycle(mg, None)
+    # achieved HBM bandwidth vs v5e peak for the best V-cycle.  Fused and
+    # streamed impls report their builder's ACTUAL per-cycle DMA bytes;
+    # the XLA paths fall back to the corrected stencil-stream model.
+    bytes_cycle = impl_bytes.get(result["impl"],
+                                 _stencil_bytes_per_cycle(mg, None))
     achieved_gbps = bytes_cycle / (result["value"] * 1e-3) / 1e9
+    if impl_bytes:
+        result["hbm_bytes_by_impl"] = {k: int(v)
+                                       for k, v in impl_bytes.items()}
     result["hbm_bytes_per_cycle"] = int(bytes_cycle)
     result["hbm_achieved_gbps"] = round(achieved_gbps, 1)
     result["hbm_utilization"] = round(achieved_gbps / PEAK_HBM_GBPS, 4)

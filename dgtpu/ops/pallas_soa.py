@@ -183,6 +183,11 @@ class SoAVCycle(PallasVCycle):
             return lead * sub * _pad128(s[-1]) * x.dtype.itemsize
         return self._traverse_operands(padded)
 
+    def hbm_bytes_per_invocation(self):
+        """One launch's HBM operator traffic = the tile-padded operand
+        read (each operand is DMA'd HBM->VMEM once per launch)."""
+        return self.padded_operand_bytes
+
     def _traverse_operands(self, size_fn):
         total = 0
         for group in (self.soa_blocks, self.soa_Dinv):

@@ -76,7 +76,7 @@ class StreamedLevel:
 
     def __init__(self, op, nj, ni, dtype=jnp.float32, interpret=False,
                  chunk_lanes=512, align=128, with_dinv=None,
-                 block_storage=None):
+                 block_storage=None, res_storage=None):
         from dgtpu.ops.linalg import host_inv
         if ni % 2:
             raise ValueError("StreamedLevel needs an even Ni")
@@ -111,6 +111,15 @@ class StreamedLevel:
                 A_all[c, 5] = (np.transpose(d, (3, 2, 0, 1))
                                .reshape(br, br, C))
         self.A_res = jnp.asarray(A_all[:, :5].astype(np.dtype(dtype)))
+        # res_storage='bfloat16': narrow the residual/matvec operand too.
+        # Unlike the sweep operand this perturbs the cycle's fixed point
+        # (the restriction residual drives the coarse correction), so the
+        # stand-alone cycle stalls near kappa * 2^-8 relative — use ONLY
+        # where the cycle is a preconditioner inside an outer f64/df32
+        # defect loop (mixed refinement), where it just trades a slightly
+        # weaker inner contraction for ~40% less residual-stream traffic.
+        if (res_storage in ("bfloat16", "bf16") and dtype == jnp.float32):
+            self.A_res = self.A_res.astype(jnp.bfloat16)
         if with_dinv:
             sweep = np.concatenate([A_all[:, 5:6], A_all[:, 1:5]], axis=1)
             self.A_sweep = jnp.asarray(sweep.astype(np.dtype(dtype)))
@@ -477,12 +486,13 @@ class StreamedVCycle:
     def __init__(self, ops, transfers, types, settings, dims,
                  dtype=jnp.float32, interpret=False,
                  vmem_budget=96 * 1024 * 1024, chunk_lanes=512,
-                 block_storage=None):
+                 block_storage=None, res_storage=None):
         from dgtpu.ops.pallas_soa import SoAVCycle
         if block_storage is None:
             block_storage = str(getattr(getattr(settings, "performance", None),
                                         "block_storage", "float32"))
         self.block_storage = block_storage
+        self.res_storage = res_storage
         self.dtype = dtype
         self.dims = list(dims)
         self.transfers = transfers
@@ -522,7 +532,8 @@ class StreamedVCycle:
             self.streams[k] = StreamedLevel(ops[k], nj, ni, dtype=dtype,
                                             interpret=interpret,
                                             chunk_lanes=chunk_lanes,
-                                            block_storage=block_storage)
+                                            block_storage=block_storage,
+                                            res_storage=res_storage)
         self._cfg = {}
         for t in set(types):
             node = getattr(settings.solver.multigrid, f"{t}_coarsening")
@@ -626,6 +637,48 @@ class StreamedVCycle:
         u01 = u01 + _vec_to_soa2(corr.reshape(-1), nj, ni, B)
         u01 = self._smooth(post_fn, res_fn, r01, u01, zero_guess=False)
         return _soa2_to_vec(u01, nj, ni, B).reshape(nj, ni, B)
+
+    def hbm_bytes_per_cycle(self):
+        """Actual HBM operator traffic of ONE hybrid cycle.
+
+        Counts what the kernels really DMA (tile-padded, storage-dtype
+        aware): every half-sweep streams one color's 5 sweep slots, every
+        residual/matvec streams both colors' 5 A_res slots, the bf16
+        defect-form smoother adds its extra residual streams, and each
+        fused-subtree invocation reads its padded operand set once.
+        The bench's generic stencil model undercounts the symmetric
+        red-black sweep 2x (2 color passes/iteration vs the actual 4
+        half-sweeps) — this is the per-impl honest figure."""
+        def pad_sub(b, itemsize):
+            t = 16 if itemsize == 2 else 8
+            return ((b + t - 1) // t) * t
+
+        bf16_defect = self.block_storage in ("bfloat16", "bf16")
+        sub_bytes = self.sub.hbm_bytes_per_invocation()
+
+        def level_visit_bytes(k, zero_guess):
+            s = self.streams[k]
+            pre, post = self._cfg[self.types[k - 1]]
+            it_sw = s.A_sweep.dtype.itemsize
+            sweep_half = it_sw * 5 * s.B * pad_sub(s.B, it_sw) * s.C
+            it_res = s.A_res.dtype.itemsize
+            res_full = (it_res * 2 * 5 * s.B_src
+                        * pad_sub(s.B_dst, it_res) * s.C)
+            n_res = 1                        # the cycle's own residual
+            if bf16_defect:                  # defect-form extra residuals
+                n_res += (0 if zero_guess else 1) + 1
+            return 4 * (pre + post) * sweep_half + n_res * res_full
+
+        def rec(k, zero_guess):
+            if k < self.cut:
+                return sub_bytes
+            total = level_visit_bytes(k, zero_guess)
+            total += rec(k - 1, True)
+            if self.cycle_type == "W" and k - 1 > 0:
+                total += rec(k - 1, False)
+            return total
+
+        return rec(self.n_lev - 1, False)
 
     def build(self):
         if self.sub._fn is None:

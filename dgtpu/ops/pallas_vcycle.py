@@ -259,6 +259,21 @@ class PallasVCycle:
                     list(self.evens))
         return (list(self.blocks), list(self.Dinv), list(self.masks))
 
+    def hbm_bytes_per_invocation(self):
+        """Operand bytes one fused-kernel launch DMAs HBM->VMEM.
+
+        The hierarchy is VMEM-resident inside the kernel, so each operand
+        array is read from HBM exactly once per launch — this IS the
+        cycle's actual HBM operator traffic (unlike the streamed path,
+        which re-reads blocks every half-sweep)."""
+        operands = ([self.split_blocks, self.split_Dinv, self.evens]
+                    if self.use_split
+                    else [self.blocks, self.Dinv, self.masks])
+        operands += [self.R, self.P, self.coarse_inv_col]
+        return sum(int(leaf.size) * leaf.dtype.itemsize
+                   for leaf in jax.tree_util.tree_leaves(operands)
+                   if hasattr(leaf, "dtype"))
+
     def build(self):
         n_lev = self.n_lev
         n_tr = n_lev - 1
