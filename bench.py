@@ -558,7 +558,12 @@ def stokes_vcycle_metric(reps=100, n=8, use_pallas=True, budget=None):
         assert float(res_r) < 1e-10, float(res_r)
 
         # marginal per-solve device time (slope fit): cancels the fixed
-        # tunnel RTT that dominates the single-dispatch number
+        # tunnel RTT that dominates the single-dispatch number.  Its
+        # chained-solve graph is the stage's largest compile (>150 s cold
+        # — it ate the stage cap in the r5 shakedown run), so it is gated
+        # on the child budget rather than risking everything above.
+        if budget is not None and not budget.fits(240, "stokes:marginal"):
+            return out
         try:
             @const_jit
             def solve_k(rhs32, u, k):
@@ -838,6 +843,7 @@ def measure_flagship(args, grid_n, gate=True, refine=True,
     stream_fn = None
     stream_bf16_fn = None
     impl_bytes = {}   # per-impl ACTUAL HBM bytes/cycle (builders know)
+    impl_cycles = {}  # tag -> (one_cycle_fn, builder) for refinement reuse
     if args.dtype == "float32":
         try:
             from dgtpu.ops.pallas_vcycle import PallasVCycle
@@ -869,6 +875,7 @@ def measure_flagship(args, grid_n, gate=True, refine=True,
                     return jax.lax.fori_loop(0, n, body, u)
                 pallas_fn = (pallas_one, pallas_many)
                 impl_bytes["pallas_fused"] = pv.hbm_bytes_per_invocation()
+                impl_cycles["pallas_fused"] = (pallas_one, pv)
             # structure-of-arrays fused cycle (cells in lanes): ~11% tile
             # padding instead of 3.5x, VMEM-resident through 32x32.
             if (jax.default_backend() == "tpu" and not args.no_pallas
@@ -888,6 +895,7 @@ def measure_flagship(args, grid_n, gate=True, refine=True,
                     return jax.lax.fori_loop(0, n, body, u)
                 soa_fn = (soa_one, soa_many)
                 impl_bytes["soa_fused"] = sv.hbm_bytes_per_invocation()
+                impl_cycles["soa_fused"] = (soa_one, sv)
             # beyond full VMEM residency: streamed-smoother hybrid (blocks
             # streamed through a sequential pallas grid, vectors resident,
             # coarse subtree as one fused kernel) — plus its bf16
@@ -907,6 +915,7 @@ def measure_flagship(args, grid_n, gate=True, refine=True,
                     hv.to_device(target)
                     one = hv.build()
                     impl_bytes[tag] = hv.hbm_bytes_per_cycle()
+                    impl_cycles[tag] = (one, hv)
 
                     @const_jit
                     def many(rhs, u, n):
@@ -1029,29 +1038,57 @@ def measure_flagship(args, grid_n, gate=True, refine=True,
         from dgtpu.solvers.refinement import make_refined_solver
         op64 = jax.device_put(dg.levels[-1].op, target)
         rhs64d = jax.device_put(rhs64, target)
-        cyc32 = lambda r, u: mg.v_cycle(n_lev, r, u)
-        # tolerate infra flakes here — keep the latency numbers
-        try:
+        n_inner = int(getattr(args, "n_inner", 6) or 6)
+
+        # inner cycle = the WINNING implementation (round-4 used the XLA
+        # cycle here — 5x slower than the fused kernel at 8x8, and the 12
+        # inner cycles dominated the 2.91 ms marginal time-to-1e-10);
+        # falls back to the XLA cycle if the fused refined graph flakes
+        def xla_candidate():
             @const_jit
             def fmg32(r):
                 return mg.fmg_guess(r)
+            return (lambda r, u: mg.v_cycle(n_lev, r, u)), fmg32
 
-            refined = make_refined_solver(op64, cyc32, n_inner=6, tol=1e-10,
-                                          normalize="rhs")
+        candidates = []
+        best = impl_cycles.get(result["impl"])
+        if best is not None:
+            cyc_fast, bld = best
 
-            def solve_once():
-                u0 = fmg32(rhs).astype(rhs64d.dtype)
-                return jax.block_until_ready(refined(rhs64d, u0))
+            def fused_candidate(cyc_fast=cyc_fast, bld=bld):
+                with setup_scope():
+                    fmg32 = bld.build_fmg()
+                return getattr(cyc_fast, "__wrapped__", cyc_fast), fmg32
+            candidates.append((result["impl"], fused_candidate))
+        candidates.append(("xla", xla_candidate))
 
-            u_r, res_r, n_r, _ = solve_once()
-            t0 = time.perf_counter()
-            u_r, res_r, n_r, _ = solve_once()
-            assert float(res_r) < 1e-10, float(res_r)
-            result["time_to_1e-10_ms"] = round(
-                (time.perf_counter() - t0) * 1e3, 3)
-            result["refined_outer_iters"] = int(n_r)
-            result["refined_residual"] = float(res_r)
-            _sync()
+        for tag, make_parts in candidates:
+            try:
+                cyc32, fmg32 = make_parts()
+                refined = make_refined_solver(op64, cyc32, n_inner=n_inner,
+                                              tol=1e-10, normalize="rhs")
+
+                def solve_once():
+                    u0 = fmg32(rhs).astype(rhs64d.dtype)
+                    return jax.block_until_ready(refined(rhs64d, u0))
+
+                u_r, res_r, n_r, _ = solve_once()
+                t0 = time.perf_counter()
+                u_r, res_r, n_r, _ = solve_once()
+                assert float(res_r) < 1e-10, float(res_r)
+                result["time_to_1e-10_ms"] = round(
+                    (time.perf_counter() - t0) * 1e3, 3)
+                result["refined_outer_iters"] = int(n_r)
+                result["refined_residual"] = float(res_r)
+                result["refined_inner_impl"] = tag
+                result["refined_n_inner"] = n_inner
+                _sync()
+            except AssertionError:
+                raise  # a real accuracy regression must fail the bench
+            except Exception as e:
+                print(f"# refinement ({tag} inner) failed: "
+                      f"{type(e).__name__}: {e}", file=sys.stderr)
+                continue
 
             # marginal per-solve device time (slope fit, same methodology
             # as the per-cycle numbers): k chained FMG+refined solves under
@@ -1074,11 +1111,7 @@ def measure_flagship(args, grid_n, gate=True, refine=True,
                 except Exception as e:  # pragma: no cover
                     print(f"# marginal refine timing failed: "
                           f"{type(e).__name__}: {e}", file=sys.stderr)
-        except AssertionError:
-            raise  # a real accuracy regression must fail the bench
-        except Exception as e:
-            print(f"# refinement stage failed: {type(e).__name__}: {e}",
-                  file=sys.stderr)
+            break
     return result
 
 
@@ -1140,6 +1173,94 @@ def run_scaling(args, sizes, headline=None, budget=None, gated=True,
             out.append({"grid_n": n, "error": f"{type(e).__name__}: {msg}"})
         if budget is not None:
             budget.emit()
+    return out
+
+
+def run_refine_sweep(args, budget=None, n_values=(3, 4, 5, 6, 7, 8)):
+    """time-to-1e-10 marginal vs n_inner (VERDICT r4 item 5): the refined
+    solve's schedule knob — fewer inner cycles mean more outer rounds
+    (each paying a df32 defect + norm), more mean wasted contraction.
+    Run manually via ``python bench.py --stage refine_sweep``; results are
+    recorded in PERFORMANCE.md, and the winning value becomes the
+    ``--n-inner`` default."""
+    out = (budget.result.setdefault("refine_sweep", [])
+           if budget is not None else [])
+    for n in n_values:
+        args.n_inner = n
+        if budget is not None and not budget.fits(150, f"refine_sweep:{n}"):
+            continue
+        _stage(f"refine sweep n_inner={n}")
+        try:
+            r = measure_flagship(args, args.grid_n, gate=False, refine=True,
+                                 marginal_refine=True)
+            out.append({"n_inner": n,
+                        "time_to_1e-10_marginal_ms":
+                            r.get("time_to_1e-10_marginal_ms"),
+                        "time_to_1e-10_ms": r.get("time_to_1e-10_ms"),
+                        "refined_outer_iters": r.get("refined_outer_iters"),
+                        "refined_inner_impl": r.get("refined_inner_impl")})
+        except Exception as e:  # pragma: no cover — keep sweeping
+            out.append({"n_inner": n, "error": f"{type(e).__name__}: {e}"})
+        if budget is not None:
+            budget.emit()
+    return out
+
+
+def run_roofline(args, budget=None):
+    """Measured practical HBM ceiling (VERDICT r4 stretch item 8): the
+    819 GB/s v5e figure is a paper peak; real kernels top out below it.
+    Times (a) a fused read-reduce (1x size traffic) and (b) a
+    read-modify-write copy (2x size) at sizes far beyond VMEM, via the
+    same marginal-slope methodology as every other number, so the
+    ``hbm_utilization`` figures can be read against the ceiling the
+    hardware actually delivers.  Run via ``--stage roofline``."""
+    import jax
+    import jax.numpy as jnp
+    from dgtpu.utils.jitting import const_jit
+
+    out = {}
+    if budget is not None:
+        budget.result["roofline"] = out
+    target = jax.devices()[0]
+    key = jax.random.PRNGKey(0)
+    for mb in (256, 512):
+        n = mb * 1024 * 1024 // 4
+        x = jax.device_put(jax.random.normal(key, (n,), jnp.float32),
+                           target)
+
+        @const_jit
+        def reduce_many(x, acc, k):
+            def body(_, acc):
+                # acc-dependent add forces a fresh full read per trip
+                # (a loop-invariant sum would be hoisted); XLA fuses the
+                # add into the reduction, so traffic = 1x size per trip
+                return jnp.sum(x + acc) * jnp.float32(1e-30)
+            return jax.lax.fori_loop(0, k, body, acc)
+
+        ms, _ = time_per_iter(
+            lambda rhs, u, k: reduce_many(x, u, k)[None],
+            jnp.zeros((1,), jnp.float32), jnp.float32(0.0), 20)
+        out[f"read_reduce_{mb}MB_gbps"] = round(
+            mb / 1024 / (ms * 1e-3), 1)
+
+        @const_jit
+        def copy_many(x, acc, k):
+            def body(_, acc):
+                # optimization_barrier forces the product to materialize
+                # (else XLA fuses the multiply into the [0] read and the
+                # write never happens): traffic = read + write = 2x size
+                y = jax.lax.optimization_barrier(
+                    x * (jnp.float32(1.0) + acc * jnp.float32(1e-30)))
+                return y[0] * jnp.float32(1e-30)
+            return jax.lax.fori_loop(0, k, body, acc)
+
+        ms, _ = time_per_iter(
+            lambda rhs, u, k: copy_many(x, u, k)[None],
+            jnp.zeros((1,), jnp.float32), jnp.float32(0.0), 20)
+        out[f"copy_{mb}MB_gbps"] = round(2 * mb / 1024 / (ms * 1e-3), 1)
+        if budget is not None:
+            budget.emit()
+    out["peak_paper_gbps"] = PEAK_HBM_GBPS
     return out
 
 
@@ -1280,7 +1401,7 @@ _TERM_GRACE_S = 25       # child SIGTERM-dump window before SIGKILL
 _STAGE_PLAN = {
     "probe":        (30, 400),
     "flagship":     (200, 600),
-    "stokes":       (240, 480),
+    "stokes":       (240, 600),
     "configs":      (200, 650),
     "smoke":        (60, 450),
     "stokes_large": (360, 520),
@@ -1521,6 +1642,10 @@ def run_child(args):
                     refine_default=not args.no_refine)
     elif stage == "configs":
         run_baseline_configs(budget=budget)
+    elif stage == "refine_sweep":
+        run_refine_sweep(args, budget=budget)
+    elif stage == "roofline":
+        run_roofline(args, budget=budget)
     elif stage == "smoke":
         run_smoke(args, budget=budget)
     else:
@@ -1548,6 +1673,9 @@ def main():
                          "VMEM-resident through 32x32 on v5e")
     ap.add_argument("--grid-n", type=int, default=8,
                     help="elements per direction (8 = BASELINE flagship)")
+    ap.add_argument("--n-inner", type=int, default=6,
+                    help="f32 inner cycles per outer refinement round "
+                         "(see --stage refine_sweep)")
     ap.add_argument("--p", type=int, default=5, help="solution degree")
     ap.add_argument("--skip-configs", action="store_true",
                     help="skip the five BASELINE config timings (flagship "

@@ -37,6 +37,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 INPUT_DIR = os.path.join(REPO, "input")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy sharded/streamed/interpret tests — excluded from the "
+        "fast lane (python -m pytest tests/ -q -m 'not slow')")
+
+
 @pytest.fixture(scope="session", autouse=True)
 def ensure_grids():
     """Generate the rectangle grid inputs used across the suite."""
