@@ -101,6 +101,13 @@ class Budget:
         except Exception:  # pragma: no cover — cache dir unwritable
             pass
 
+    def cancel_stage(self):
+        """Drop the open stage without recording its wall time — used when
+        a stage is killed at its hard cap, where the elapsed time reflects
+        the bound rather than the stage's real cost (recording it would
+        inflate the next run's estimate and force a skip)."""
+        self._open_stage = None
+
     def elapsed(self):
         return time.monotonic() - self.t0
 
@@ -1482,6 +1489,7 @@ def _run_child_stage(budget, stage, cap_s, argv_extra, passthrough):
         "wall_s": round(wall, 1), "rc": proc.returncode,
         "timed_out": timed_out}
     if timed_out:
+        budget.cancel_stage()   # the wall reflects the cap, not the cost
         budget.result["skipped"].append(
             {"stage": stage, "reason": "stage_timeout",
              "timeout_s": round(cap_s, 1),

@@ -160,3 +160,15 @@ def test_run_child_stage_timeout_salvages_partial(make_budget):
     assert skip["reason"] == "stage_timeout"
     assert skip["partial_recovered"] is True
     assert b.result["stage_walls"]["_sleep_test"]["timed_out"] is True
+
+
+def test_cancel_stage_drops_timed_out_wall_times(make_budget):
+    """A stage killed at its hard cap must NOT record its wall time as a
+    sidecar prior — the elapsed time reflects the bound, not the cost,
+    and recording it would force the next run to skip the stage."""
+    b = make_budget(600)
+    assert b.fits(5, "hog")
+    b.cancel_stage()
+    assert b.fits(5, "next")
+    assert "hog" not in b._stage_times
+    assert "next" in [s for s, _ in [b._open_stage]]
