@@ -44,7 +44,8 @@ class StreamedStokesLevel:
     """
 
     def __init__(self, level, dtype=jnp.float32, interpret=False,
-                 chunk_lanes=512, align=128, n_pass=2, block_storage=None):
+                 chunk_lanes=512, align=128, n_pass=2, block_storage=None,
+                 resident_budget=80 * 1024 * 1024):
         from dgtpu.ops import rolled
         from dgtpu.ops.linalg import host_inv
         from dgtpu.parallel.stokes_halo import _dg_diag_blocks
@@ -57,7 +58,8 @@ class StreamedStokesLevel:
         self.n_pass = n_pass
         self.dtype = dtype
         kw = dict(dtype=dtype, interpret=interpret,
-                  chunk_lanes=chunk_lanes, align=align)
+                  chunk_lanes=chunk_lanes, align=align,
+                  resident_budget=resident_budget)
         # the velocity block-GS runs in defect form (its rhs is the f32
         # momentum residual, which vanishes at the smoother's fixed point),
         # so bf16 sweep-block storage cannot shift what the sweep converges
@@ -141,7 +143,8 @@ class StreamedStokesVCycle:
 
     def __init__(self, levels, transfers, types, settings, dtype=jnp.float32,
                  interpret=False, vmem_budget=96 * 1024 * 1024,
-                 chunk_lanes=512, align=128, n_pass=2, block_storage=None):
+                 chunk_lanes=512, align=128, n_pass=2, block_storage=None,
+                 resident_budget=80 * 1024 * 1024):
         if block_storage is None:
             block_storage = str(getattr(getattr(settings, "performance", None),
                                         "block_storage", "float32"))
@@ -182,7 +185,7 @@ class StreamedStokesVCycle:
             self.streams[k] = StreamedStokesLevel(
                 levels[k], dtype=dtype, interpret=interpret,
                 chunk_lanes=chunk_lanes, align=align, n_pass=n_pass,
-                block_storage=block_storage)
+                block_storage=block_storage, resident_budget=resident_budget)
 
         # smoother config: structurally DGS (same validation as the fused
         # cycle), iteration counts per coarsening type

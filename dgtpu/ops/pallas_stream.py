@@ -76,7 +76,8 @@ class StreamedLevel:
 
     def __init__(self, op, nj, ni, dtype=jnp.float32, interpret=False,
                  chunk_lanes=512, align=128, with_dinv=None,
-                 block_storage=None, res_storage=None):
+                 block_storage=None, res_storage=None,
+                 resident_budget=80 * 1024 * 1024):
         from dgtpu.ops.linalg import host_inv
         if ni % 2:
             raise ValueError("StreamedLevel needs an even Ni")
@@ -142,6 +143,27 @@ class StreamedLevel:
         # 128-lane aligned (a Mosaic requirement for lane-dim vector stores)
         self.ph = 0 if self.n_chunks == 1 else \
             ((nh + align - 1) // align) * align
+        # VMEM-resident sweep operand: when BOTH colors' padded sweep
+        # blocks fit ``resident_budget``, the half-sweep kernel takes the
+        # operand as one un-gridded VMEM input — fetched from HBM ONCE per
+        # pallas_call instead of once per half-sweep.  An n-half-sweep
+        # application's operator traffic drops n-fold (the r4 64x64
+        # measurement: the streamed hybrid already ran at ~95% of the HBM
+        # roofline, so the remaining win is moving fewer bytes, not
+        # prefetching them sooner).  bf16 sweep storage is what makes the
+        # 64x64 p=5 operand fit (70.8 MB padded vs 141.6 f32).
+        self.sweep_resident = (
+            self.A_sweep is not None
+            and self._sweep_operand_bytes() <= resident_budget)
+
+    def _sweep_operand_bytes(self):
+        """Padded HBM/VMEM footprint of the full (2-color) sweep operand."""
+        if self.A_sweep is None:
+            return 0
+        it = self.A_sweep.dtype.itemsize
+        tile = 16 if it == 2 else 8
+        pad_br = ((self.B_dst + tile - 1) // tile) * tile
+        return it * 2 * 5 * self.B_src * pad_br * self.C
 
     def to_device(self, device):
         self.A_res = jax.device_put(self.A_res, device)
@@ -163,12 +185,20 @@ class StreamedLevel:
     # chunk edge).  Single-chunk path: no padding, whole-lattice rolls —
     # identical to the fused kernel's neighbor access.
 
-    def _chunk_fields(self, state_ref, other, start, mask_chunk):
+    def _chunk_fields(self, state_ref, other, start, mask_chunk,
+                      single=None):
         """(center, roll+, roll-, jL, jR, even-mask) for the chunk at
-        lane offset ``start`` (int32 tracer) of color ``other``."""
+        lane offset ``start`` (int32 tracer) of color ``other``.
+
+        ``single=True`` forces the whole-lattice (unpadded, roll-based)
+        path regardless of ``n_chunks`` — the resident-sweep kernel keeps
+        its state unchunked even when the residual/matvec kernels of the
+        same level stream in chunks."""
         nh, Lc, ph = self.nh, self.Lc, self.ph
         me, mrs, mre = mask_chunk[0], mask_chunk[1], mask_chunk[2]
-        if self.n_chunks == 1:
+        if single is None:
+            single = self.n_chunks == 1
+        if single:
             o = state_ref[other]
             jL = jnp.roll(o, nh, axis=1)
             jR = jnp.roll(o, -nh, axis=1)
@@ -204,66 +234,95 @@ class StreamedLevel:
     def half_sweeps(self, n_half):
         """Build fn(rhs01, u01) running n_half red-black half-sweeps.
 
-        rhs01/u01: (2, B, C) stacked color lattices.  One pallas_call;
-        grid (n_half, n_chunks); blocks streamed once per half-sweep.
+        rhs01/u01: (2, B, C) stacked color lattices.  One pallas_call.
+        Two DMA regimes, identical math:
+
+        * resident (``sweep_resident``): the whole 2-color sweep operand
+          is an un-gridded VMEM input — one HBM fetch per *application*,
+          state kept whole-lattice (roll-based neighbors); grid
+          (n_half/2, color).
+        * streamed: grid (n_half/2, color, chunk); each half-sweep
+          re-streams its color's blocks chunk by chunk (operands beyond
+          the VMEM budget).
         """
         assert self.with_dinv, "half_sweeps needs the diagonal inverse slot"
         B, C, Lc, nh = self.B, self.C, self.Lc, self.nh
         n_chunks = self.n_chunks
+        resident = self.sweep_resident
 
         def kernel(rhs_ref, u_ref, mask_ref, A_ref, state_ref):
-            # grid (n_pass, color, chunk): color as its own grid dim keeps
-            # every BlockSpec index_map a plain identity (a computed rem
-            # index lowered as an s64 scalar operand the X64-rewrite pass
-            # cannot handle)
+            # grid (n_pass, color[, chunk]): color as its own grid dim
+            # keeps every BlockSpec index_map a plain identity (a computed
+            # rem index lowered as an s64 scalar operand the X64-rewrite
+            # pass cannot handle)
             h = pl.program_id(0)
             c = pl.program_id(1)
-            i = pl.program_id(2)
-            # all lane-offset arithmetic in int32 (Mosaic rejects int64)
-            start = i * jnp.int32(Lc)
+            if resident:
+                i = None
+                start = jnp.int32(0)
+                first = (h == 0) & (c == 0)
+            else:
+                i = pl.program_id(2)
+                # all lane-offset arithmetic in int32 (Mosaic rejects int64)
+                start = i * jnp.int32(Lc)
+                first = (h == 0) & (c == 0) & (i == 0)
 
-            @pl.when((h == 0) & (c == 0) & (i == 0))
+            @pl.when(first)
             def _init():
                 state_ref[...] = u_ref[...]
 
-            # single-chunk path: static full slices — the dynamic-offset
-            # form would need Mosaic to prove i*Lc = 0 (mod 128), which it
+            single = resident or n_chunks == 1
+            # single path: static full slices — the dynamic-offset form
+            # would need Mosaic to prove i*Lc = 0 (mod 128), which it
             # cannot when Lc is unaligned (tiny grids; the smoke gate's
             # 4x4 hierarchy caught this)
-            if n_chunks == 1:
+            if single:
                 mask_chunk = mask_ref[...]
             else:
                 mask_chunk = mask_ref[:, :, pl.dslice(start, Lc)]
             fields = self._chunk_fields(state_ref, jnp.int32(1) - c,
-                                        start, mask_chunk)
+                                        start, mask_chunk, single=single)
             iL, iR, jL, jR = self._fields_for_color(c == 0, *fields)
             # sweep-operand slot order [Dinv, iL, iR, jL, jR]; _mac
-            # upconverts bf16-stored blocks to the f32 state in-register
-            off = (_mac(A_ref[0, 1], iL) + _mac(A_ref[0, 2], iR)
-                   + _mac(A_ref[0, 3], jL) + _mac(A_ref[0, 4], jR))
-            rhs_c = rhs_ref[c] if n_chunks == 1 \
+            # upconverts bf16-stored blocks to the f32 state in-register.
+            # resident: dynamic color index into the full VMEM operand
+            # (same mechanism as state_ref[other]); streamed: the color's
+            # blocks arrive as this grid step's (1, 5, B, B, Lc) block.
+            A = A_ref[c] if resident else A_ref[0]
+            off = (_mac(A[1], iL) + _mac(A[2], iR)
+                   + _mac(A[3], jL) + _mac(A[4], jR))
+            rhs_c = rhs_ref[c] if single \
                 else rhs_ref[c, :, pl.dslice(start, Lc)]
-            unew = _mac(A_ref[0, 0], rhs_c - off)
-            if self.n_chunks == 1:
+            unew = _mac(A[0], rhs_c - off)
+            if single:
                 state_ref[c] = unew
             else:
                 state_ref[c, :, pl.dslice(jnp.int32(self.ph) + start, Lc)] = unew
 
         assert n_half % 2 == 0, "half-sweeps come in red/black pairs"
         vfull = pl.BlockSpec(memory_space=pltpu.VMEM)
+        ph = 0 if resident else self.ph
+        if resident:
+            grid = (n_half // 2, 2)
+            a_spec = vfull                     # one fetch per application
+            out_spec = pl.BlockSpec((2, B, C), lambda h, c: (0, 0, 0))
+        else:
+            grid = (n_half // 2, 2, n_chunks)
+            a_spec = pl.BlockSpec((1, 5, B, B, Lc),
+                                  lambda h, c, i: (c, 0, 0, 0, i))
+            out_spec = pl.BlockSpec((2, B, C + 2 * ph),
+                                    lambda h, c, i: (0, 0, 0))
         call = pl.pallas_call(
             kernel,
-            grid=(n_half // 2, 2, n_chunks),
+            grid=grid,
             in_specs=[
                 vfull,                                     # rhs (2, B, C)
                 vfull,                                     # u0 padded
                 vfull,                                     # masks (3, 1, C)
-                pl.BlockSpec((1, 5, B, B, Lc),
-                             lambda h, c, i: (c, 0, 0, 0, i)),
+                a_spec,
             ],
-            out_specs=pl.BlockSpec((2, B, C + 2 * self.ph),
-                                   lambda h, c, i: (0, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((2, B, C + 2 * self.ph),
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((2, B, C + 2 * ph),
                                            self.dtype),
             interpret=self.interpret,
             compiler_params=pltpu.CompilerParams(
@@ -275,13 +334,13 @@ class StreamedLevel:
             # hardware path: under jax_enable_x64 the TPU lowering injects
             # an s64 scalar operand that XLA's X64-rewriting pass cannot
             # handle.  The f64 interpret/test path keeps x64 on.
+            u_in = u01 if resident else self._pad(u01)
             if self.dtype == jnp.float32:
                 with jax.enable_x64(False):
-                    out = call(rhs01, self._pad(u01), self.masks,
-                               self.A_sweep)
+                    out = call(rhs01, u_in, self.masks, self.A_sweep)
             else:
-                out = call(rhs01, self._pad(u01), self.masks, self.A_sweep)
-            return out[:, :, self.ph:self.ph + C]
+                out = call(rhs01, u_in, self.masks, self.A_sweep)
+            return out if resident else out[:, :, self.ph:self.ph + C]
 
         return fn
 
@@ -486,7 +545,8 @@ class StreamedVCycle:
     def __init__(self, ops, transfers, types, settings, dims,
                  dtype=jnp.float32, interpret=False,
                  vmem_budget=96 * 1024 * 1024, chunk_lanes=512,
-                 block_storage=None, res_storage=None):
+                 block_storage=None, res_storage=None,
+                 resident_budget=80 * 1024 * 1024):
         from dgtpu.ops.pallas_soa import SoAVCycle
         if block_storage is None:
             block_storage = str(getattr(getattr(settings, "performance", None),
@@ -533,7 +593,8 @@ class StreamedVCycle:
                                             interpret=interpret,
                                             chunk_lanes=chunk_lanes,
                                             block_storage=block_storage,
-                                            res_storage=res_storage)
+                                            res_storage=res_storage,
+                                            resident_budget=resident_budget)
         self._cfg = {}
         for t in set(types):
             node = getattr(settings.solver.multigrid, f"{t}_coarsening")
@@ -661,13 +722,20 @@ class StreamedVCycle:
             pre, post = self._cfg[self.types[k - 1]]
             it_sw = s.A_sweep.dtype.itemsize
             sweep_half = it_sw * 5 * s.B * pad_sub(s.B, it_sw) * s.C
+            if s.sweep_resident:
+                # one whole-operand fetch per half_sweeps application
+                # (pre kernel + post kernel), however many half-sweeps
+                # each runs — the point of the resident mode
+                sweep_total = 2 * s._sweep_operand_bytes()
+            else:
+                sweep_total = 4 * (pre + post) * sweep_half
             it_res = s.A_res.dtype.itemsize
             res_full = (it_res * 2 * 5 * s.B_src
                         * pad_sub(s.B_dst, it_res) * s.C)
             n_res = 1                        # the cycle's own residual
             if bf16_defect:                  # defect-form extra residuals
                 n_res += (0 if zero_guess else 1) + 1
-            return 4 * (pre + post) * sweep_half + n_res * res_full
+            return sweep_total + n_res * res_full
 
         def rec(k, zero_guess):
             if k < self.cut:

@@ -137,19 +137,21 @@ def test_bf16_res_storage_contracts_to_preconditioner_quality(flagship):
 
 
 def test_streamed_hbm_bytes_model(flagship):
-    """hbm_bytes_per_cycle: positive, storage-dtype aware (bf16 strictly
-    below f32), and at least the one-pass operand read of the hierarchy."""
+    """hbm_bytes_per_cycle: positive, storage-dtype aware, and
+    resident-mode aware (one operand fetch per application instead of one
+    per half-sweep)."""
     dg = flagship
     dims = [(l.Nj, l.Ni) for l in dg.levels]
     ops = [l.op for l in dg.levels]
 
-    def make(**kw):
+    def make(resident_budget=0, **kw):
         return StreamedVCycle(ops, dg.transfers, dg.transfer_types,
                               dg.settings, dims, dtype=jnp.float32,
                               interpret=True,
                               vmem_budget=2 * 1024 * 1024, chunk_lanes=8,
-                              **kw)
+                              resident_budget=resident_budget, **kw)
 
+    # streaming regime (resident off): every half-sweep re-reads blocks
     b_f32 = make().hbm_bytes_per_cycle()
     b_bf16 = make(block_storage="bfloat16").hbm_bytes_per_cycle()
     b_all = make(block_storage="bfloat16",
@@ -162,3 +164,13 @@ def test_streamed_hbm_bytes_model(flagship):
     # full read of the finest level's sweep operand
     s = make().streams[len(dims) - 1]
     assert b_f32 > s.A_sweep.nbytes
+
+    # resident regime: the sweep operand is fetched once per application,
+    # so the accounted traffic drops strictly below the streamed figure
+    hv_r = make(resident_budget=80 * 1024 * 1024)
+    assert all(s.sweep_resident for s in hv_r.streams.values())
+    b_res = hv_r.hbm_bytes_per_cycle()
+    assert 0 < b_res < b_f32
+    hv_r16 = make(resident_budget=80 * 1024 * 1024,
+                  block_storage="bfloat16")
+    assert 0 < hv_r16.hbm_bytes_per_cycle() < b_bf16

@@ -34,13 +34,23 @@ def test_streamed_level_matches_soa_smoother(flagship):
     rhs = lvl.rhs
     nj, ni = dims[k]
     B = lvl.op.blocks.shape[-1]
-    # force multiple chunks (nh=4, chunk_lanes=8 -> 4 chunks of 8 lanes)
+    # force multiple chunks (nh=4, chunk_lanes=8 -> 4 chunks of 8 lanes);
+    # resident_budget=0 pins the chunk-streaming kernel (the default would
+    # hold this tiny operand VMEM-resident and skip the chunk logic)
     st = StreamedLevel(lvl.op, nj, ni, dtype=jnp.float64, interpret=True,
-                       chunk_lanes=8, align=4)
-    assert st.n_chunks > 1
+                       chunk_lanes=8, align=4, resident_budget=0)
+    assert st.n_chunks > 1 and not st.sweep_resident
     r01s = _vec_to_soa2(rhs, nj, ni, B)
     u01s = _vec_to_soa2(jnp.ones_like(rhs), nj, ni, B)
     out_stream = st.half_sweeps(4)(r01s, u01s)
+
+    # the VMEM-resident sweep kernel (one operand fetch per application)
+    # must be bit-identical to the streamed one
+    st_r = StreamedLevel(lvl.op, nj, ni, dtype=jnp.float64, interpret=True,
+                         chunk_lanes=8, align=4)
+    assert st_r.sweep_resident
+    out_res = st_r.half_sweeps(4)(r01s, u01s)
+    assert float(jnp.abs(out_res - out_stream).max()) == 0.0
     r01 = sv._to_soa(rhs)
     u01 = sv._to_soa(jnp.ones_like(rhs))
     ref = sv._soa_smooth(k, consts[0][k], (r01[0], r01[1]),
@@ -148,8 +158,9 @@ def test_streamed_level_ogrid_periodic():
     k = len(dims) - 1
     lvl = dg.levels[-1]
     st = StreamedLevel(lvl.op, dims[k][0], dims[k][1], dtype=jnp.float64,
-                       interpret=True, chunk_lanes=4, align=2)
-    assert st.periodic and st.n_chunks > 1
+                       interpret=True, chunk_lanes=4, align=2,
+                       resident_budget=0)
+    assert st.periodic and st.n_chunks > 1 and not st.sweep_resident
     rhs = lvl.rhs
     B = lvl.op.blocks.shape[-1]
     r01 = _vec_to_soa2(rhs, dims[k][0], dims[k][1], B)
@@ -160,6 +171,13 @@ def test_streamed_level_ogrid_periodic():
     ref = sv._soa_smooth(k, consts[0][k], (rs[0], rs[1]), (us[0], us[1]), 2)
     assert float(jnp.abs(out[0] - ref[0]).max()) < 1e-13
     assert float(jnp.abs(out[1] - ref[1]).max()) < 1e-13
+
+    # resident sweep kernel honors the periodic wrap identically
+    st_r = StreamedLevel(lvl.op, dims[k][0], dims[k][1], dtype=jnp.float64,
+                         interpret=True, chunk_lanes=4, align=2)
+    assert st_r.periodic and st_r.sweep_resident
+    out_r = st_r.half_sweeps(4)(r01, u01)
+    assert float(jnp.abs(out_r - out).max()) == 0.0
 
     # the color-restricted matvec honors the periodic wrap too
     full = st.matvec()(out)
