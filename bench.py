@@ -458,7 +458,8 @@ def _stokes_settings(n=8):
     return s
 
 
-def stokes_vcycle_metric(reps=100, n=8, use_pallas=True, budget=None):
+def stokes_vcycle_metric(reps=100, n=8, use_pallas=True, budget=None,
+                         n_inner=6):
     """Per-V-cycle latency + time-to-1e-10 of the Stokes DGS multigrid.
 
     n x n p_u=2/p_p=1 global-order Stokes, p-coarsening (u 2->1) + geometric
@@ -546,8 +547,9 @@ def stokes_vcycle_metric(reps=100, n=8, use_pallas=True, budget=None):
         from dgtpu.solvers.refinement import make_refined_solver
         with setup_scope():
             fmg = sv.build_fmg()
-        refined = make_refined_solver(op, best_cycle, n_inner=6, tol=1e-10,
-                                      normalize="rhs")
+        refined = make_refined_solver(op, best_cycle, n_inner=n_inner,
+                                      tol=1e-10, normalize="rhs")
+        out["refined_n_inner"] = n_inner
         import jax as _j
 
         def solve_once():
@@ -1641,7 +1643,8 @@ def run_child(args):
         budget.result.update(res)
         budget.result["backend"] = jax.default_backend()
     elif stage == "stokes":
-        stokes_vcycle_metric(use_pallas=not args.no_pallas, budget=budget)
+        stokes_vcycle_metric(use_pallas=not args.no_pallas, budget=budget,
+                             n_inner=int(args.n_inner or 6))
     elif stage == "stokes_large":
         stokes_streamed_metric(n=32, budget=budget)
     elif stage.startswith("scaling"):
