@@ -540,7 +540,10 @@ class DGFEM:
             # streamed hierarchy; the refinement tolerance then normalizes
             # by ||rhs|| so it keeps its relative-to-zero-iterate meaning
             with setup_scope():
-                fmg = builder.build_fmg()
+                # the FMG pass's finest-level cycle runs the same winning
+                # kernel as the refinement's inner cycles (fused builders
+                # otherwise run it as a ~3-6x slower XLA graph)
+                fmg = builder.build_fmg(finest_cycle=cyc)
             u0 = fmg(rhs.astype(jnp.float32)).astype(rhs.dtype)
             kind += " + FMG guess"
         refined = make_refined_solver(finest.op, cyc, n_inner=6, tol=tol,

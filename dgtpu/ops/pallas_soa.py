@@ -428,13 +428,16 @@ class SoAVCycle(PallasVCycle):
         u01 = tuple(u + p for u, p in zip(u01, p01))
         return self._soa_smooth(k, levels[k], rhs01, u01, 2 * post)
 
-    def _soa_fmg(self, consts, rhs01):
+    def _soa_fmg(self, consts, rhs01, skip_finest=False):
         """Full-multigrid (nested-iteration) guess in SoA layout.
 
         Restricts the rhs through the hierarchy, solves the coarsest level,
         then prolongs upward running one configured cycle per level — the
         fused-path analog of MultigridSolver.fmg_guess (which the reference
         lacks entirely; its solver iterates from zero, solver.py:114-139).
+        With ``skip_finest`` the finest-level cycle is left to the caller
+        (who runs it through the fused Mosaic kernel instead of this XLA
+        graph); only the prolonged guess is returned.
         """
         levels, Rs, Ps, coarse = consts
         rhss = [rhs01]
@@ -445,22 +448,34 @@ class SoAVCycle(PallasVCycle):
         u01 = self._soa_coarse_solve(levels, coarse, rhss[0], z)
         for k in range(1, self.n_lev):
             u01 = self._soa_prolong(k - 1, Ps[k - 1], u01)
+            if skip_finest and k == self.n_lev - 1:
+                return u01
             u01 = self._soa_cycle(k, consts, rhss[k], u01)
         return u01
 
-    def build_fmg(self):
+    def build_fmg(self, finest_cycle=None):
         """fmg(rhs) -> u0: the FMG guess as one jitted XLA graph.
 
-        Runs once per solve, so the plain-XLA build is used even on TPU
-        (a second Mosaic kernel compile is not worth a one-shot pass)."""
+        Runs once per solve, so the coarse-level work stays plain XLA even
+        on TPU (a second Mosaic kernel compile is not worth a one-shot
+        pass).  ``finest_cycle``: optional already-built fused cycle
+        ``(rhs, u) -> u`` to run in place of the finest level's XLA cycle —
+        the finest cycle dominates the FMG pass and the fused kernel runs
+        it ~3-6x faster than the XLA graph (measured 0.030 vs 0.098 ms at
+        8x8 p=5), with no extra Mosaic compile since the cycle kernel is
+        already built."""
         flat, rebuild = self._flat_consts()
         consts = rebuild(flat)
+        skip = finest_cycle is not None
+        cyc = getattr(finest_cycle, "__wrapped__", finest_cycle)
 
         @const_jit
         def fmg(rhs):
-            r01 = self._to_soa(rhs.astype(self.dtype))
-            u01 = self._soa_fmg(consts, r01)
-            return self._from_soa(*u01)
+            r32 = rhs.astype(self.dtype)
+            r01 = self._to_soa(r32)
+            u01 = self._soa_fmg(consts, r01, skip_finest=skip)
+            u = self._from_soa(*u01)
+            return cyc(r32, u) if skip else u
 
         return fmg
 

@@ -530,11 +530,13 @@ class SoAStokesVCycle:
         p01 = tuple(q + e for q, e in zip(p01, pe_p))
         return self._smooth(k, levels[k], f_mom01, f_cont01, uv01, p01, post)
 
-    def _fmg(self, consts, f_mom01, f_cont01):
+    def _fmg(self, consts, f_mom01, f_cont01, skip_finest=False):
         """Full-multigrid (nested-iteration) guess on the Stokes saddle
         hierarchy: restrict (f_mom, f_cont) to the coarsest level, solve,
         prolong upward with one configured cycle per level.  Fused-path
-        analog of MultigridSolver.fmg_guess."""
+        analog of MultigridSolver.fmg_guess.  With ``skip_finest`` the
+        finest-level cycle is left to the caller (who runs it through the
+        fused Mosaic kernel); only the prolonged guess is returned."""
         levels, Rs, Ps, coarse = consts
         rhss = [(f_mom01, f_cont01)]
         for k in range(self.n_lev - 1, 0, -1):
@@ -546,22 +548,35 @@ class SoAStokesVCycle:
         uv01, p01 = self._coarse_solve(consts, fm, fc, z_uv, z_p)
         for k in range(1, self.n_lev):
             uv01, p01 = self._prolong(k - 1, Ps[k - 1], uv01, p01)
+            if skip_finest and k == self.n_lev - 1:
+                return uv01, p01
             uv01, p01 = self._cycle(k, consts, rhss[k][0], rhss[k][1],
                                     uv01, p01)
         return uv01, p01
 
-    def build_fmg(self):
+    def build_fmg(self, finest_cycle=None):
         """fmg(rhs) -> u0: the FMG guess as one jitted XLA graph (one-shot
-        pass — not worth a second Mosaic kernel compile)."""
+        pass — not worth a second Mosaic kernel compile).
+
+        ``finest_cycle``: optional already-built fused cycle
+        ``(rhs, u) -> u`` run in place of the finest level's XLA cycle —
+        that cycle dominates the FMG pass and the fused kernel runs it
+        ~6x faster (measured 0.19 vs 1.18 ms per W-cycle at 8x8), with no
+        extra Mosaic compile since the cycle kernel is already built."""
         flat, rebuild = self._flat_consts()
         consts = rebuild(flat)
+        skip = finest_cycle is not None
+        cyc = getattr(finest_cycle, "__wrapped__", finest_cycle)
 
         @const_jit
         def fmg(rhs):
             self._masked(consts)
-            f = self._to_soa(rhs.astype(self.dtype))
-            uv01, p01 = self._fmg(consts, (f[0], f[1]), (f[2], f[3]))
-            return self._from_soa(uv01[0], uv01[1], p01[0], p01[1])
+            r32 = rhs.astype(self.dtype)
+            f = self._to_soa(r32)
+            uv01, p01 = self._fmg(consts, (f[0], f[1]), (f[2], f[3]),
+                                  skip_finest=skip)
+            u = self._from_soa(uv01[0], uv01[1], p01[0], p01[1])
+            return cyc(r32, u) if skip else u
 
         return fmg
 

@@ -387,14 +387,19 @@ class StreamedStokesVCycle:
 
         return matvec
 
-    def build_fmg(self):
+    def build_fmg(self, finest_cycle=None):
         """fmg(rhs) -> u0: FMG guess through the hybrid Stokes hierarchy
         (fused subtree contributes its own XLA FMG pass; streamed levels
         restrict down / one cycle per level up).  One-shot per solve — no
-        new Mosaic kernel is compiled."""
+        new Mosaic kernel is compiled.  ``finest_cycle`` is accepted for
+        interface parity with the fused builders and ignored: the
+        finest-level FMG cycle here already runs the streamed kernels."""
+        del finest_cycle
         if getattr(self.sub, "_fn", None) is None:
             self.sub.build()
-        sub_fmg = self.sub.build_fmg()
+        # the subtree's cut-level FMG cycle runs its fused kernel (already
+        # built above) instead of the XLA graph
+        sub_fmg = self.sub.build_fmg(finest_cycle=self.sub._fn)
         top = self.n_lev - 1
 
         @const_jit

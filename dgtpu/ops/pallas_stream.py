@@ -764,17 +764,22 @@ class StreamedVCycle:
         self._fn = one_cycle
         return one_cycle
 
-    def build_fmg(self):
+    def build_fmg(self, finest_cycle=None):
         """fmg(rhs) -> u0: FMG guess through the hybrid hierarchy.
 
         The fused subtree contributes its own (XLA) FMG pass; the streamed
         levels above it restrict the rhs down and run one cycle per level
         on the way back up.  One-shot per solve, so the streamed kernels
         (already built for the cycle) are reused but no new Mosaic kernel
-        is compiled."""
+        is compiled.  ``finest_cycle`` is accepted for interface parity
+        with the fused builders and ignored: the finest-level FMG cycle
+        here already runs the streamed Pallas kernels."""
+        del finest_cycle
         if self.sub._fn is None:
             self.sub.build()
-        sub_fmg = self.sub.build_fmg()
+        # the subtree's cut-level FMG cycle runs its fused kernel (already
+        # built above) instead of the XLA graph
+        sub_fmg = self.sub.build_fmg(finest_cycle=self.sub._fn)
         nj, ni = self.dims[-1]
 
         @const_jit

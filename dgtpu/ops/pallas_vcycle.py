@@ -220,10 +220,12 @@ class PallasVCycle:
         u = self._smooth(k, consts, rhs, u, 2 * post)
         return u
 
-    def _fmg(self, consts, rhs):
+    def _fmg(self, consts, rhs, skip_finest=False):
         """Full-multigrid (nested-iteration) guess in rolled layout:
         restrict the rhs to the coarsest level, solve, prolong upward with
-        one configured cycle per level (MultigridSolver.fmg_guess analog)."""
+        one configured cycle per level (MultigridSolver.fmg_guess analog).
+        With ``skip_finest`` the finest-level cycle is left to the caller
+        (who runs it through the fused Mosaic kernel)."""
         _, _, _, Rs, Ps, _ = consts
         rhss = [rhs]
         for k in range(self.n_lev - 1, 0, -1):
@@ -232,21 +234,29 @@ class PallasVCycle:
         u = self._coarse_solve(consts, rhss[0], jnp.zeros_like(rhss[0]))
         for k in range(1, self.n_lev):
             u = self._prolong(k - 1, Ps[k - 1], u)
+            if skip_finest and k == self.n_lev - 1:
+                return u
             u = self._cycle(k, consts, rhss[k], u)
         return u
 
-    def build_fmg(self):
+    def build_fmg(self, finest_cycle=None):
         """fmg(rhs) -> u0: the FMG guess as one jitted XLA graph (one-shot
-        per solve — not worth a Mosaic kernel compile)."""
+        per solve — not worth a Mosaic kernel compile).  ``finest_cycle``:
+        optional already-built fused cycle ``(rhs, u) -> u`` run in place
+        of the finest level's XLA cycle (the dominant cost of the pass)."""
         nj, ni = self.dims[-1]
         B = self.blocks[-1].shape[-1]
         consts = self._host_consts() + (list(self.R), list(self.P),
                                         self.coarse_inv_col)
+        skip = finest_cycle is not None
+        cyc = getattr(finest_cycle, "__wrapped__", finest_cycle)
 
         @const_jit
         def fmg(rhs):
-            r = rhs.reshape(nj, ni, B).astype(self.dtype)
-            return self._fmg(consts, r).reshape(-1)
+            r32 = rhs.astype(self.dtype)
+            r = r32.reshape(nj, ni, B)
+            u = self._fmg(consts, r, skip_finest=skip).reshape(-1)
+            return cyc(r32, u) if skip else u
 
         return fmg
 

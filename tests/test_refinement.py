@@ -226,6 +226,33 @@ def test_fused_stokes_fmg_guess():
     r = float(jnp.linalg.norm(rhs - op.matvec(u0)) / jnp.linalg.norm(rhs))
     assert r < 0.1, f"Stokes FMG guess too weak: {r}"
 
+    # build_fmg(finest_cycle=...): the composed pass (XLA coarse levels +
+    # caller-supplied finest cycle) must match the all-in-graph FMG bitwise
+    # — on TPU the fused Mosaic cycle is substituted here, ~6x cheaper than
+    # the finest-level XLA cycle that otherwise dominates the FMG cost
+    composed = sv.build_fmg(finest_cycle=sv.build_xla())
+    u0c = composed(rhs.astype(jnp.float32)).astype(rhs.dtype)
+    assert np.array_equal(np.asarray(u0), np.asarray(u0c))
+
+
+def test_fused_poisson_fmg_finest_cycle_composes():
+    """SoAVCycle.build_fmg(finest_cycle=cyc) == build_fmg() bitwise when
+    cyc is the identical-algorithm XLA cycle (the TPU path swaps in the
+    fused Mosaic kernel, same contract)."""
+    import jax.numpy as jnp
+
+    import __graft_entry__
+    from dgtpu.ops.pallas_soa import SoAVCycle
+
+    dg = __graft_entry__._flagship(n=8, p_grid=2, p_sol=2)
+    dims = [(lvl.Nj, lvl.Ni) for lvl in dg.levels]
+    sv = SoAVCycle([lvl.op for lvl in dg.levels], dg.transfers,
+                   dg.transfer_types, dg.settings, dims, dtype=jnp.float32)
+    rhs = dg.levels[-1].rhs.astype(jnp.float32)
+    a = np.asarray(sv.build_fmg()(rhs))
+    b = np.asarray(sv.build_fmg(finest_cycle=sv.build_xla())(rhs))
+    assert np.array_equal(a, b)
+
 
 def test_precision_mixed_stokes_past_budget_on_cpu(monkeypatch):
     """Off-TPU the fused-kernel VMEM budget must not gate mixed precision:
