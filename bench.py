@@ -1477,34 +1477,94 @@ def _merge_child(result, parsed):
     result["skipped"].extend(child_skipped)
 
 
-def _run_child_stage(budget, stage, cap_s, argv_extra, passthrough):
-    """Run one bench stage as ``python bench.py --stage <stage>`` under a
-    hard wall-clock cap; returns (parsed_last_json, timed_out, rc)."""
-    cmd = [sys.executable, os.path.abspath(__file__), "--stage", stage,
-           "--budget-s", str(max(cap_s - 15.0, 30.0))] \
-        + passthrough + argv_extra
+_STALL_S = 240           # no child stdout within this window => wedged tunnel
+
+
+def _spawn_child(budget, cmd, cap_s, stall_s):
+    """Spawn one child attempt.  Returns (out_text, timed_out, stalled, rc,
+    wall_s).  ``stalled``: the child produced NO stdout within ``stall_s``
+    — the signature of a wedged remote-tunnel session (children emit a
+    first-device-op heartbeat within seconds when the tunnel works), as
+    opposed to a slow-but-alive stage, which the hard cap handles."""
+    import threading
     t0 = time.monotonic()
     proc = subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True,
                             cwd=os.path.dirname(os.path.abspath(__file__)))
     budget.on_terminate = proc.kill
-    timed_out = False
-    try:
-        out_text, _ = proc.communicate(timeout=cap_s)
-    except subprocess.TimeoutExpired:
-        timed_out = True
+    lines = []
+    saw_output = threading.Event()
+
+    def _reader():
+        for line in proc.stdout:
+            lines.append(line)
+            saw_output.set()
+        proc.stdout.close()
+
+    th = threading.Thread(target=_reader, daemon=True)
+    th.start()
+    timed_out = stalled = False
+    while proc.poll() is None:
+        el = time.monotonic() - t0
+        if el >= cap_s:
+            timed_out = True
+        elif not saw_output.is_set() and el >= stall_s:
+            stalled = True
+        else:
+            time.sleep(min(1.0, max(cap_s - el, 0.05)))
+            continue
         proc.terminate()    # child Budget dumps its snapshot on SIGTERM
         try:
-            out_text, _ = proc.communicate(timeout=_TERM_GRACE_S)
+            proc.wait(timeout=_TERM_GRACE_S)
         except subprocess.TimeoutExpired:  # pragma: no cover — wedged child
             proc.kill()
-            out_text, _ = proc.communicate()
+            proc.wait()
+        break
+    th.join(timeout=5)
     budget.on_terminate = None
-    wall = time.monotonic() - t0
+    return "".join(lines), timed_out, stalled, proc.returncode, \
+        time.monotonic() - t0
+
+
+def _run_child_stage(budget, stage, cap_s, argv_extra, passthrough):
+    """Run one bench stage as ``python bench.py --stage <stage>`` under a
+    hard wall-clock cap; returns (parsed_last_json, timed_out, rc).
+
+    A child that never prints (wedged tunnel session) is killed after
+    ``_STALL_S`` and retried once — a fresh session almost always comes up
+    healthy, and the retry costs minutes where waiting out the cap costs
+    the rest of the budget."""
+    cmd = [sys.executable, os.path.abspath(__file__), "--stage", stage,
+           "--budget-s", str(max(cap_s - 15.0, 30.0))] \
+        + passthrough + argv_extra
+    stall_s = min(_STALL_S, cap_s)
+    wall, stall_attempts = 0.0, 0
+    for attempt in (0, 1):
+        out_text, timed_out, stalled, rc, w = _spawn_child(
+            budget, cmd, cap_s, stall_s)
+        wall += w
+        if not stalled:
+            break
+        stall_attempts += 1
+        print(f"# stage {stage}: no output in {stall_s:.0f}s (wedged "
+              f"tunnel session?) — "
+              f"{'retrying' if attempt == 0 else 'giving up'}",
+              file=sys.stderr, flush=True)
+        if attempt == 1 or budget.remaining() < stall_s + _RESERVE_S:
+            break
+        cap_s = max(min(cap_s, budget.remaining() - _RESERVE_S), 30)
     parsed = _last_json_dict(out_text)
     budget.result.setdefault("stage_walls", {})[stage] = {
-        "wall_s": round(wall, 1), "rc": proc.returncode,
-        "timed_out": timed_out}
-    if timed_out:
+        "wall_s": round(wall, 1), "rc": rc, "timed_out": timed_out}
+    if stall_attempts:
+        budget.result["stage_walls"][stage]["stall_attempts"] = \
+            stall_attempts
+    if stalled:
+        budget.cancel_stage()
+        budget.result["skipped"].append(
+            {"stage": stage, "reason": "stage_stalled",
+             "stall_s": round(stall_s, 1),
+             "partial_recovered": parsed is not None})
+    elif timed_out:
         budget.cancel_stage()   # the wall reflects the cap, not the cost
         budget.result["skipped"].append(
             {"stage": stage, "reason": "stage_timeout",
@@ -1513,13 +1573,13 @@ def _run_child_stage(budget, stage, cap_s, argv_extra, passthrough):
         print(f"# stage {stage}: hard timeout at {cap_s:.0f}s (partial "
               f"{'recovered' if parsed else 'lost'})",
               file=sys.stderr, flush=True)
-    elif proc.returncode != 0:
+    elif rc != 0:
         budget.result["skipped"].append(
-            {"stage": stage, "reason": f"stage_rc_{proc.returncode}",
+            {"stage": stage, "reason": f"stage_rc_{rc}",
              "partial_recovered": parsed is not None})
-        print(f"# stage {stage}: exited rc {proc.returncode}",
+        print(f"# stage {stage}: exited rc {rc}",
               file=sys.stderr, flush=True)
-    return parsed, timed_out, proc.returncode
+    return parsed, timed_out, rc
 
 
 def orchestrate(args):
@@ -1648,6 +1708,26 @@ def run_child(args):
         budget.result["backend"] = "tpu" if _probe_tpu() else "cpu"
         budget.emit()
         return
+    if stage not in ("_sleep_test", "_stall_test"):
+        # first-device-op heartbeat: the axon tunnel occasionally wedges
+        # while establishing the remote session — the child then blocks
+        # forever inside its first eager op with zero output (observed
+        # repeatedly: futex-wait main thread, tokio loop in ep_poll, tunnel
+        # healthy for NEW clients).  Running one tiny op up front and
+        # printing a marker gives the parent a cheap liveness signal: no
+        # stdout within its stall window => wedged => kill + retry, instead
+        # of burning the stage's full 600-900 s cap on silence.
+        import jax.numpy as _jnp
+        _t0 = time.monotonic()
+        jax.block_until_ready(_jnp.zeros(8) + 1)
+        _stage(f"device up ({jax.default_backend()}) "
+               f"in {time.monotonic() - _t0:.1f}s")
+        budget.emit()   # first stdout line = the parent's liveness signal
+    if stage == "_stall_test":
+        # test-only: print nothing and block — exercises the parent's
+        # no-output stall detector deterministically
+        time.sleep(600)
+        return  # pragma: no cover
     if stage == "_sleep_test":
         # test-only: emit one snapshot, then block forever — exercises the
         # parent's hard-timeout SIGTERM-dump salvage path deterministically

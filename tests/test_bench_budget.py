@@ -162,6 +162,27 @@ def test_run_child_stage_timeout_salvages_partial(make_budget):
     assert b.result["stage_walls"]["_sleep_test"]["timed_out"] is True
 
 
+def test_run_child_stage_stall_detector_kills_and_retries(make_budget,
+                                                          monkeypatch):
+    """A child that produces NO stdout (wedged remote-tunnel session) must
+    be killed at the stall window and retried once — not left to burn the
+    stage's full hard cap in silence."""
+    import bench
+    monkeypatch.setattr(bench, "_STALL_S", 6)
+    b = make_budget(600)
+    t0 = __import__("time").monotonic()
+    parsed, timed_out, rc = bench._run_child_stage(
+        b, "_stall_test", 60.0, [], ["--backend", "cpu"])
+    wall = __import__("time").monotonic() - t0
+    assert timed_out is False
+    skip = b.result["skipped"][-1]
+    assert skip["stage"] == "_stall_test"
+    assert skip["reason"] == "stage_stalled"
+    assert b.result["stage_walls"]["_stall_test"]["stall_attempts"] == 2
+    # two stall windows + kill grace, nowhere near the 60 s cap
+    assert wall < 45
+
+
 def test_cancel_stage_drops_timed_out_wall_times(make_budget):
     """A stage killed at its hard cap must NOT record its wall time as a
     sidecar prior — the elapsed time reflects the bound, not the cost,
