@@ -1532,24 +1532,33 @@ def _run_child_stage(budget, stage, cap_s, argv_extra, passthrough):
     A child that never prints (wedged tunnel session) is killed after
     ``_STALL_S`` and retried once — a fresh session almost always comes up
     healthy, and the retry costs minutes where waiting out the cap costs
-    the rest of the budget."""
-    cmd = [sys.executable, os.path.abspath(__file__), "--stage", stage,
-           "--budget-s", str(max(cap_s - 15.0, 30.0))] \
-        + passthrough + argv_extra
-    stall_s = min(_STALL_S, cap_s)
+    the rest of the budget.  The probe stage is exempt: its only stdout is
+    its final emit and a slow-but-reachable backend bring-up legitimately
+    stays silent for up to its whole cap (misclassifying it would silently
+    demote the entire bench to CPU)."""
+    def _cmd(cap):
+        # the child plans its own substages against --budget-s, so it must
+        # be recomputed whenever the cap shrinks (a stale larger budget
+        # makes the child start substages the parent will kill mid-flight)
+        return [sys.executable, os.path.abspath(__file__), "--stage", stage,
+                "--budget-s", str(max(cap - 15.0, 30.0))] \
+            + passthrough + argv_extra
+    stall_s = cap_s if stage == "probe" else min(_STALL_S, cap_s)
     wall, stall_attempts = 0.0, 0
     for attempt in (0, 1):
         out_text, timed_out, stalled, rc, w = _spawn_child(
-            budget, cmd, cap_s, stall_s)
+            budget, _cmd(cap_s), cap_s, stall_s)
         wall += w
         if not stalled:
             break
         stall_attempts += 1
+        will_retry = (attempt == 0
+                      and budget.remaining() >= stall_s + _RESERVE_S)
         print(f"# stage {stage}: no output in {stall_s:.0f}s (wedged "
               f"tunnel session?) — "
-              f"{'retrying' if attempt == 0 else 'giving up'}",
+              f"{'retrying' if will_retry else 'giving up'}",
               file=sys.stderr, flush=True)
-        if attempt == 1 or budget.remaining() < stall_s + _RESERVE_S:
+        if not will_retry:
             break
         cap_s = max(min(cap_s, budget.remaining() - _RESERVE_S), 30)
     parsed = _last_json_dict(out_text)
@@ -1558,6 +1567,11 @@ def _run_child_stage(budget, stage, cap_s, argv_extra, passthrough):
     if stall_attempts:
         budget.result["stage_walls"][stage]["stall_attempts"] = \
             stall_attempts
+        # even on a successful retry the total wall includes the wasted
+        # stall window — recording it as this stage's measured cost would
+        # inflate the next run's estimate into a spurious skip (same
+        # prior-poisoning rule as the timeout path)
+        budget.cancel_stage()
     if stalled:
         budget.cancel_stage()
         budget.result["skipped"].append(

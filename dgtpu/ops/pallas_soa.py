@@ -466,7 +466,10 @@ class SoAVCycle(PallasVCycle):
         already built."""
         flat, rebuild = self._flat_consts()
         consts = rebuild(flat)
-        skip = finest_cycle is not None
+        # a 1-level hierarchy has no finest-level cycle to replace (the FMG
+        # pass is just the coarse solve) — composing would APPEND a cycle
+        # the plain pass doesn't run, breaking the bitwise-parity contract
+        skip = finest_cycle is not None and self.n_lev > 1
         cyc = getattr(finest_cycle, "__wrapped__", finest_cycle)
 
         @const_jit

@@ -565,7 +565,8 @@ class SoAStokesVCycle:
         extra Mosaic compile since the cycle kernel is already built."""
         flat, rebuild = self._flat_consts()
         consts = rebuild(flat)
-        skip = finest_cycle is not None
+        # n_lev == 1: no finest-level cycle to replace (see pallas_soa)
+        skip = finest_cycle is not None and self.n_lev > 1
         cyc = getattr(finest_cycle, "__wrapped__", finest_cycle)
 
         @const_jit

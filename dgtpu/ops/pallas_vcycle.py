@@ -248,7 +248,8 @@ class PallasVCycle:
         B = self.blocks[-1].shape[-1]
         consts = self._host_consts() + (list(self.R), list(self.P),
                                         self.coarse_inv_col)
-        skip = finest_cycle is not None
+        # n_lev == 1: no finest-level cycle to replace (see pallas_soa)
+        skip = finest_cycle is not None and self.n_lev > 1
         cyc = getattr(finest_cycle, "__wrapped__", finest_cycle)
 
         @const_jit

@@ -253,6 +253,17 @@ def test_fused_poisson_fmg_finest_cycle_composes():
     b = np.asarray(sv.build_fmg(finest_cycle=sv.build_xla())(rhs))
     assert np.array_equal(a, b)
 
+    # single-level hierarchy (reachable when a streamed builder's fused
+    # subtree is only the coarsest level): there is no finest-level cycle
+    # to replace, and composing must NOT append an extra cycle on top of
+    # the plain pass's direct coarse solve
+    lvl = dg.levels[-1]
+    sv1 = SoAVCycle([lvl.op], [], [], dg.settings, [(lvl.Nj, lvl.Ni)],
+                    dtype=jnp.float32)
+    a1 = np.asarray(sv1.build_fmg()(rhs))
+    b1 = np.asarray(sv1.build_fmg(finest_cycle=sv1.build_xla())(rhs))
+    assert np.array_equal(a1, b1)
+
 
 def test_precision_mixed_stokes_past_budget_on_cpu(monkeypatch):
     """Off-TPU the fused-kernel VMEM budget must not gate mixed precision:
