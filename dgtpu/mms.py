@@ -61,12 +61,21 @@ def parse_expression(expr, constants=None):
 
 
 def _vectorize(f):
-    """Elementwise application of a scalar fn over arrays of any shape."""
+    """Elementwise application of a scalar fn over arrays of any shape.
+
+    Pinned to the host CPU: MMS evaluation is setup/oracle work (sources,
+    Dirichlet data, divergence checks, nodal errors), and the un-jitted
+    vmap-of-grad chains dispatch one primitive at a time — on a tunneled
+    remote TPU every primitive pays the RPC round-trip (profiled: one
+    64-point divergence check cost ~97 s on the axon backend vs
+    milliseconds on host)."""
     def g(x, y):
-        x = jnp.asarray(x, dtype=jnp.result_type(float))
-        y = jnp.asarray(y, dtype=x.dtype)
-        flat = jax.vmap(f)(x.ravel(), y.ravel())
-        return flat.reshape(x.shape)
+        from dgtpu.utils.device import setup_scope
+        with setup_scope():
+            x = jnp.asarray(x, dtype=jnp.result_type(float))
+            y = jnp.asarray(y, dtype=x.dtype)
+            flat = jax.vmap(f)(x.ravel(), y.ravel())
+            return flat.reshape(x.shape)
     return g
 
 
