@@ -38,6 +38,7 @@ def test_polynomial_exactness(base_settings, expr, p_min):
     assert err < 1e-11
 
 
+@pytest.mark.slow
 def test_h_convergence_rate(base_settings):
     """L2 error ~ h^(p+1) for the smooth sine solution."""
     for p, expected in ((1, 2.0), (2, 3.0)):

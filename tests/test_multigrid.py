@@ -276,6 +276,7 @@ def test_f_cycle_streamed_rejects_fused_and_sharded_accept():
     assert float(res_s) < 1e-6
 
 
+@pytest.mark.slow
 def test_stokes_streamed_rejects_f_cycle():
     """The streamed Stokes hybrid implements V/W only; F must raise."""
     from dgtpu.api import DGFEM
@@ -304,6 +305,7 @@ def test_stokes_streamed_rejects_f_cycle():
         StreamedStokesVCycle(dg.levels, dg.transfers, dg.transfer_types, s)
 
 
+@pytest.mark.slow
 def test_stokes_fmg_f_cycle():
     """F-cycles + FMG on the Stokes saddle path (distributive-GS smoothing):
     measured 43 V-cycles -> 13 F+FMG cycles on the 8x8 p=2 hierarchy; this

@@ -52,6 +52,7 @@ def soa(stokes_mg):
                            dtype=jnp.float64, interpret=True)
 
 
+@pytest.mark.slow
 def test_soa_stokes_matches_generic_vcycle(stokes_mg, soa):
     dg = stokes_mg
     assert [(l.Ni, l.Nj) for l in dg.levels] == [(2, 2), (4, 4), (4, 4)]

@@ -15,6 +15,7 @@ def flagship():
     return __graft_entry__._flagship(n=8, p_grid=2, p_sol=2)
 
 
+@pytest.mark.slow
 def test_pallas_vcycle_converges_like_xla(flagship):
     dg = flagship
     dims = [(l.Nj, l.Ni) for l in dg.levels]

@@ -71,6 +71,7 @@ def test_sharded_multigrid_matches_direct(base_settings):
     assert np.abs(np.asarray(u) - ud).max() < 1e-4
 
 
+@pytest.mark.slow
 def test_dryrun_entrypoint():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
@@ -108,6 +109,7 @@ def test_sharded_fmg_poisson(base_settings):
     assert np.abs(np.asarray(u1) - np.asarray(u0)).max() < 1e-5 * scale
 
 
+@pytest.mark.slow
 def test_sharded_stokes_chebyshev_dgs(base_settings):
     """performance.dgs_velocity_solver: chebyshev — the DGS velocity-block
     solve runs as a Chebyshev polynomial on the SPD momentum block instead
@@ -222,6 +224,7 @@ def test_sharded_stokes_multigrid(base_settings):
     assert np.abs(np.asarray(u)[:n_uv] - ud[:n_uv]).max() < 1e-5 * scale
 
 
+@pytest.mark.slow
 def test_sharded_geometric_multigrid(base_settings):
     """p + geometric (h) hierarchy sharded over 8 devices: the 2x2
     agglomeration is shard-local (whole coarse rows per device)."""
@@ -492,6 +495,7 @@ def test_sharded_rejects_indivisible_nj(base_settings):
         ShardedMultigrid([coarse, lvl], [t], s, mesh=make_mesh(4))
 
 
+@pytest.mark.slow
 def test_sharded_stokes_geometric_multigrid(base_settings):
     """Stokes p + geometric (h) hierarchy sharded over 4 devices: the 2x2
     agglomeration is shard-local per component (VERDICT r2 item 5)."""

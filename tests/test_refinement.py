@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dgtpu.ops.smoothers import element_colors
 from dgtpu.ops.stencil import StencilOperator
@@ -265,6 +266,7 @@ def test_fused_poisson_fmg_finest_cycle_composes():
     assert np.array_equal(a1, b1)
 
 
+@pytest.mark.slow
 def test_precision_mixed_stokes_past_budget_on_cpu(monkeypatch):
     """Off-TPU the fused-kernel VMEM budget must not gate mixed precision:
     a 'too big' Stokes hierarchy still runs f32 SoA XLA cycles + defect
@@ -305,6 +307,7 @@ def test_precision_mixed_stokes_past_budget_on_cpu(monkeypatch):
     assert dg.residuals[-1] < 1e-10
 
 
+@pytest.mark.slow
 def test_precision_mixed_api_stokes():
     """Mixed precision on the Stokes saddle system (fused DGS inner cycle)."""
     from dgtpu.api import DGFEM

@@ -58,6 +58,7 @@ def _hybrid(dg, **kw):
                                 dg.settings, **kw)
 
 
+@pytest.mark.slow
 def test_streamed_stokes_matches_fused(stokes_mg):
     dg = stokes_mg
     sv = SoAStokesVCycle(dg.levels, dg.transfers, dg.transfer_types,
@@ -80,6 +81,7 @@ def test_streamed_stokes_matches_fused(stokes_mg):
     assert r < 1e-1
 
 
+@pytest.mark.slow
 def test_streamed_stokes_wcycle_matches_fused(stokes_mg):
     """W-cycles stay identical across the fused-subtree boundary."""
     dg = stokes_mg
@@ -102,6 +104,7 @@ def test_streamed_stokes_wcycle_matches_fused(stokes_mg):
         s.solver.multigrid.cycle_type = old
 
 
+@pytest.mark.slow
 def test_streamed_stokes_refines_to_1e10(stokes_mg):
     """Mixed-precision refinement with the streamed hybrid inner cycle
     reaches the 1e-10 BASELINE parity target (f64 interpret stand-in for
@@ -132,6 +135,7 @@ def test_streamed_stokes_build_matvec(stokes_mg):
     assert rel < 1e-12, rel
 
 
+@pytest.mark.slow
 def test_streamed_stokes_gmres_refinement(stokes_mg):
     """inner='gmres' refinement through the streamed hybrid converges to
     1e-10 (the robust route for deep hierarchies whose stand-alone cycle
